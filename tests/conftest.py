@@ -1,0 +1,8 @@
+"""Test config: run on a virtual 8-device CPU mesh (multi-chip sharding tests
+compile/execute without real TPU hardware; see parallel/ tests)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

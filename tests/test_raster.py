@@ -1,0 +1,66 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rtsdm_tpu.ops.raster import rasterize, interpolate
+from rtsdm_tpu.scene.procedural import cornell_box, arcade
+from rtsdm_tpu.scene.camera import Camera
+
+
+def test_single_triangle_coverage_and_depth():
+    cam = Camera.create(position=(0, 0, 2), target=(0, 0, 0), near_z=0.1, far_z=10.0)
+    tri = jnp.array([[[-1.0, -1.0, 0.0], [1.0, -1.0, 0.0], [0.0, 1.0, 0.0]]])
+    out = rasterize(cam.view_proj_mat, tri, width=64, height=64, cull="none")
+    tid = np.asarray(out["tri_id"])
+    # center covered, corners background
+    assert tid[32, 32] == 0
+    assert tid[0, 0] == -1 and tid[0, 63] == -1
+    # depth linearizes to the plane distance (2.0)
+    d = np.asarray(cam.linearize_depth(out["depth"]))
+    assert abs(d[32, 32] - 2.0) < 1e-3
+
+
+def test_cornell_box_full_coverage_back_cull():
+    scene = cornell_box()
+    cam = scene.camera
+    out = rasterize(cam.view_proj_mat, scene.positions, width=128, height=128,
+                    cull="back")
+    tid = np.asarray(out["tri_id"])
+    # camera looks into a closed room: every pixel must hit something
+    assert (tid >= 0).all(), f"background pixels: {(tid < 0).sum()}"
+    assert int(out["overflow"]) == 0
+    # depth increases toward the back wall center vs the near block
+    d = np.asarray(cam.linearize_depth(out["depth"]))
+    assert d.min() > 0.5 and d.max() < 7.0
+
+
+def test_interpolation_perspective_correct():
+    scene = cornell_box()
+    cam = scene.camera
+    out = rasterize(cam.view_proj_mat, scene.positions, width=96, height=96,
+                    cull="back")
+    pos_w = interpolate(out["tri_id"], out["bary"], scene.positions)
+    # reconstructed world position must project back to the pixel
+    h, w = 96, 96
+    ys, xs = np.mgrid[0:h, 0:w]
+    clip = np.asarray(pos_w) @ np.asarray(cam.view_proj_mat[:3, :3]).T + np.asarray(cam.view_proj_mat[:3, 3])
+    wc = np.asarray(pos_w) @ np.asarray(cam.view_proj_mat[3, :3]).T + float(cam.view_proj_mat[3, 3])
+    valid = np.asarray(out["tri_id"]) >= 0
+    u = (clip[..., 0] / wc * 0.5 + 0.5) * w
+    v = (0.5 - clip[..., 1] / wc * 0.5) * h
+    assert np.abs(u[valid] - (xs + 0.5)[valid]).max() < 0.1
+    assert np.abs(v[valid] - (ys + 0.5)[valid]).max() < 0.1
+    # linear view depth from the interpolated position matches the z-buffer
+    view_z = -(np.asarray(pos_w) @ np.asarray(cam.view_mat[2, :3]).T + float(cam.view_mat[2, 3]))
+    lin = np.asarray(cam.linearize_depth(out["depth"]))
+    assert np.abs(view_z[valid] - lin[valid]).max() < 1e-2
+
+
+def test_town_scene_rasters_with_ground():
+    scene = arcade(aspect=1.0)
+    cam = scene.camera
+    out = rasterize(cam.view_proj_mat, scene.positions, width=128, height=128,
+                    cull="back", max_per_tile=512)
+    tid = np.asarray(out["tri_id"])
+    # lower half of the image is ground/buildings -> mostly covered
+    assert (tid[96:, :] >= 0).mean() > 0.95
+    assert int(out["overflow"]) == 0
