@@ -1,0 +1,34 @@
+"""`from falcor import *` compatibility surface.
+
+The reference's graph scripts start with `from falcor import *`
+(e.g. scripts/SVAO.py:2; bindings PYBIND11_MODULE falcor_ext,
+Source/Falcor/FalcorPython.cpp:52). This module provides the same names on
+top of the TPU engine and installs itself as `falcor` in sys.modules so the
+reference-shaped scripts execute verbatim.
+"""
+from __future__ import annotations
+
+import sys
+
+from .rendergraph.graph import RenderGraph  # noqa: F401
+from .rendergraph.render_pass import create_pass, PASS_REGISTRY  # noqa: F401
+from . import passes  # noqa: F401  (registers all pass types)
+
+# Falcor exposes enums; scripts pass them as strings in Properties — our
+# passes consume strings directly. Provide common names as str aliases so
+# scripts that reference them unqualified still run.
+uint2 = tuple
+float2 = tuple
+float3 = tuple
+float4 = tuple
+
+
+class ResourceFormat:
+    def __getattr__(self, name):
+        return name
+
+
+__all__ = ["RenderGraph", "create_pass", "uint2", "float2", "float3",
+           "float4", "ResourceFormat"]
+
+sys.modules.setdefault("falcor", sys.modules[__name__])

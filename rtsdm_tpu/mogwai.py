@@ -1,0 +1,188 @@
+"""Mogwai: the script-driven renderer harness.
+
+Reference: Source/Mogwai/ — `m` object script API (MogwaiScripting.cpp:127-179
+binds m.loadScene/addGraph/renderFrame/clock/profiler/frameCapture), frame
+loop (SampleApp.cpp:471-540), windowless Testbed (Core/Testbed.h:75).
+
+TPU-native: renderFrame runs the whole graph as ONE jitted function
+(scene, state, frame, time) -> (outputs, state) — the RenderGraphExe pass
+loop is fused by XLA instead of dispatched per pass. Guard band handling
+follows the reference's manual protocol (GuardBand.cpp:74-100): the frame
+buffer grows by 2*guardBand and the camera FOV is widened so the interior
+matches the requested image.
+"""
+from __future__ import annotations
+
+import math
+import runpy
+import sys
+
+import jax
+import numpy as np
+
+from . import falcor  # noqa: F401  (installs `falcor` module + registers passes)
+from .core.clock import Clock
+from .core.frame_capture import FrameCapture
+from .core.profiler import Profiler
+from .rendergraph.graph import RenderGraph
+from .rendergraph.render_pass import RenderContext
+from .scene.procedural import load_scene
+from .scene.camera import Camera
+from .utils.structs import replace
+
+
+class Renderer:
+    """The `m` object."""
+
+    def __init__(self, width: int = 1920, height: int = 1080, use_jit: bool = True):
+        self.width = width
+        self.height = height
+        self.use_jit = use_jit
+        self.clock = Clock()
+        self.profiler = Profiler(enabled=False)
+        self.frameCapture = FrameCapture()
+        self.frameCapture._attach(self)
+        self.graphs: list[RenderGraph] = []
+        self.active_graph: RenderGraph | None = None
+        self.scene = None
+        self._scene_name = None
+        self._state = None
+        self._frame_fn = None
+        self._last_outputs = None
+
+    # --- script API -----------------------------------------------------
+    def addGraph(self, graph: RenderGraph):
+        self.graphs.append(graph)
+        self.active_graph = graph
+        if self.scene is not None:
+            graph.set_scene(self.scene)
+        self._frame_fn = None
+        self._state = None
+
+    def removeGraph(self, graph):
+        self.graphs.remove(graph)
+        if self.active_graph is graph:
+            self.active_graph = self.graphs[-1] if self.graphs else None
+
+    def loadScene(self, path: str):
+        self._scene_name = path
+        self.scene = load_scene(path, aspect=self.width / self.height)
+        for g in self.graphs:
+            g.set_scene(self.scene)
+        self._frame_fn = None
+        self._state = None
+
+    def resizeFrameBuffer(self, width: int, height: int):
+        self.width, self.height = width, height
+        if self._scene_name:
+            self.loadScene(self._scene_name)
+        self._frame_fn = None
+        self._state = None
+
+    # --- frame loop -------------------------------------------------------
+    def _guard_band(self) -> int:
+        g = self.active_graph
+        for p in g.passes.values():
+            if p.pass_type == "GuardBand":
+                return int(p.cfg["guardBand"])
+        return 0
+
+    def _render_res(self):
+        gb = self._guard_band()
+        return self.width + 2 * gb, self.height + 2 * gb, gb
+
+    def _compensated_scene(self):
+        """Widen the FOV so the guard-band interior keeps the requested FOV
+        (the reference's 'Fix Camera Fov', GuardBand.cpp:96-100)."""
+        gb = self._guard_band()
+        if gb == 0:
+            return self.scene
+        cam = self.scene.camera
+        h = self.height / 2 + gb
+        fov = 2.0 * math.atan(0.5 * float(cam.frame_height) / float(cam.focal_length))
+        new_fov = 2.0 * math.atan(h * math.tan(fov * 0.5) / (h - gb))
+        new_focal = 0.5 * float(cam.frame_height) / math.tan(new_fov * 0.5)
+        rw, rh, _ = self._render_res()
+        new_cam = Camera.create(
+            position=np.asarray(cam.pos_w), target=np.asarray(cam.target),
+            up=np.asarray(cam.up), focal_length=new_focal,
+            frame_height=float(cam.frame_height), aspect=rw / rh,
+            near_z=float(cam.near_z), far_z=float(cam.far_z))
+        return self.scene.with_camera(new_cam)
+
+    def _build_frame_fn(self):
+        graph = self.active_graph
+        rw, rh, gb = self._render_res()
+        scene = self._compensated_scene()
+        graph.set_scene(scene)
+        ctx = RenderContext(width=rw, height=rh, scene=scene,
+                            dictionary={"guardBand": gb})
+        self._state = graph.init_state(ctx)
+        fn = graph.frame_fn(rw, rh, dictionary={"guardBand": gb})
+        self._frame_fn = jax.jit(fn) if self.use_jit else fn
+        self._scene_comp = scene
+
+    def renderFrame(self):
+        if self.active_graph is None or self.scene is None:
+            raise RuntimeError("need addGraph + loadScene before renderFrame")
+        if self._frame_fn is None:
+            self._build_frame_fn()
+        scene = self._scene_comp
+        with self.profiler.event("renderFrame"):
+            marked, self._state = self._frame_fn(
+                scene, self._state,
+                frame_index=self.clock.frame, time=self.clock.time)
+            jax.block_until_ready(marked)
+        # crop the guard band off marked outputs (capture shows the target res)
+        _, _, gb = self._render_res()
+        if gb:
+            marked = {k: v[gb:gb + self.height, gb:gb + self.width]
+                      if hasattr(v, "ndim") and v.ndim >= 2 else v
+                      for k, v in marked.items()}
+        self._last_outputs = marked
+        self.clock.tick()
+        return marked
+
+
+def run_script(path: str, m: Renderer | None = None, scene: str | None = None):
+    """Execute a graph script the way Mogwai does (Renderer::loadScript,
+    Mogwai.h:111): the script sees `m` and `from falcor import *` works."""
+    m = m or Renderer()
+    glb = {"m": m}
+    ns = runpy.run_path(path, init_globals=glb)
+    if scene:
+        m.loadScene(scene)
+    return m, ns
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="Mogwai-style script runner")
+    ap.add_argument("script")
+    ap.add_argument("--scene", default="CornellBox")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--capture", default=None)
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args(argv)
+
+    m = Renderer(width=args.width, height=args.height)
+    m.profiler.enabled = args.profile
+    run_script(args.script, m)
+    m.loadScene(args.scene)
+    m.clock.pause()
+    for f in range(args.frames):
+        m.clock.frame = f
+        m.renderFrame()
+        if args.capture:
+            m.frameCapture.outputDir = args.capture
+            m.frameCapture.capture()
+    if args.profile:
+        print(m.profiler.capture_json())
+    print("outputs:", {k: tuple(v.shape) for k, v in m._last_outputs.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,11 +136,16 @@ def _bin_triangles(bbox, valid, width, height, max_per_tile):
     return lists.reshape(nty, ntx, max_per_tile), overflow
 
 
-def _raster_tiles(coef, lists, width, height):
+def _raster_tiles(coef, lists, width, height, depth_floor=None,
+                  min_separation=0.0):
     """Z-tested splat of per-tile triangle lists.
 
     coef: [T,5,3], lists: [NTY,NTX,MAX]. Returns tri_id [H,W] (int32, -1 bg),
     bary [H,W,2], depth [H,W] (NDC z in [0,1], 1 at background).
+
+    depth_floor: optional [H,W] linear view depth; fragments with
+    view_depth <= floor + min_separation are discarded — the depth-peeling
+    reject test (reference DepthPeeling/DepthPeeling.3d.slang:43-55).
     """
     nty, ntx, max_per_tile = lists.shape
     flat = lists.reshape(-1, max_per_tile)  # [NT, MAX]
@@ -159,6 +164,14 @@ def _raster_tiles(coef, lists, width, height):
           + jnp.arange(TILE_W, dtype=jnp.int32)[None, None, :]).astype(jnp.float32) + 0.5
     yy = jnp.broadcast_to(yy, (nt, TILE_H, TILE_W))
     xx = jnp.broadcast_to(xx, (nt, TILE_H, TILE_W))
+
+    floor_tiles = None
+    if depth_floor is not None:
+        pad_h = nty * TILE_H - depth_floor.shape[0]
+        pad_w = ntx * TILE_W - depth_floor.shape[1]
+        f = jnp.pad(depth_floor, ((0, pad_h), (0, pad_w)))
+        floor_tiles = (f.reshape(nty, TILE_H, ntx, TILE_W)
+                       .transpose(0, 2, 1, 3).reshape(nt, TILE_H, TILE_W))
 
     def body(carry, slot):
         z_buf, id_buf, b1_buf, b2_buf = carry
@@ -179,6 +192,9 @@ def _raster_tiles(coef, lists, width, height):
                   & (z < z_buf))
         esum = e0 + e1 + e2
         esum = jnp.where(esum == 0.0, 1.0, esum)
+        if floor_tiles is not None:
+            view_depth = wd / esum  # clip-w == positive linear view depth
+            accept = accept & (view_depth > floor_tiles + min_separation)
         z_buf = jnp.where(accept, z, z_buf)
         id_buf = jnp.where(accept, tid[:, None, None], id_buf)
         b1_buf = jnp.where(accept, e1 / esum, b1_buf)
@@ -206,10 +222,12 @@ def _raster_tiles(coef, lists, width, height):
     return untile(id_buf), jnp.stack([untile(b1_buf), untile(b2_buf)], -1), untile(z_buf)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cull", "max_per_tile"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "cull", "max_per_tile",
+                                              "min_separation"))
 def rasterize(view_proj, positions, *, width: int, height: int,
               jitter_x=0.0, jitter_y=0.0, cull: str = "back",
-              max_per_tile: int = 256):
+              max_per_tile: int = 256, depth_floor=None,
+              min_separation: float = 0.0):
     """Rasterize a triangle soup to a visibility buffer.
 
     Args:
@@ -224,7 +242,8 @@ def rasterize(view_proj, positions, *, width: int, height: int,
     coef, bbox, valid = _setup_triangles(
         view_proj, positions, width, height, jitter_x, jitter_y, CULL_MODES[cull])
     lists, overflow = _bin_triangles(bbox, valid, width, height, max_per_tile)
-    tri_id, bary, depth = _raster_tiles(coef, lists, width, height)
+    tri_id, bary, depth = _raster_tiles(coef, lists, width, height,
+                                        depth_floor, min_separation)
     return {"tri_id": tri_id, "bary": bary, "depth": depth, "overflow": overflow}
 
 

@@ -1,0 +1,13 @@
+"""Render-pass library (reference Source/RenderPasses/ — 70 plugin dirs).
+
+Importing this package registers every pass type with the plugin registry,
+the moral equivalent of Falcor loading pass DLLs at startup.
+"""
+from . import gbuffer          # noqa: F401
+from . import depth_chain      # noqa: F401
+from . import interleave       # noqa: F401
+from . import hbao             # noqa: F401
+from . import blur             # noqa: F401
+from . import lighting         # noqa: F401
+from . import tonemap          # noqa: F401
+from . import image_equation   # noqa: F401

@@ -1,0 +1,103 @@
+"""G-buffer passes (reference Source/RenderPasses/GBuffer/ — GBufferRaster
+channels GBuffer.cpp:39-50, depth/linearZ GBufferRaster.cpp:50-55,92 — and
+DepthPass).
+
+TPU design: one visibility-buffer rasterization, then channel materialization
+by gathers — XLA dead-code-eliminates channels nobody consumes after the
+whole-graph trace, so declaring all of them is free.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.raster import flat_fetch, interpolate, rasterize
+from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
+from ..utils.math import normalize, transform_point
+
+
+def raster_gbuffer(scene, width, height, cull="back", max_per_tile=256,
+                   apply_jitter=True):
+    """Shared raster + channel materialization."""
+    cam = scene.camera
+    jx = cam.jitter_x if apply_jitter else 0.0
+    jy = cam.jitter_y if apply_jitter else 0.0
+    vis = rasterize(cam.view_proj_no_jitter, scene.positions,
+                    width=width, height=height, jitter_x=jx, jitter_y=jy,
+                    cull=cull, max_per_tile=max_per_tile)
+    tid, bary = vis["tri_id"], vis["bary"]
+    hit = tid >= 0
+
+    pos_w = interpolate(tid, bary, scene.positions)          # [H,W,3]
+    norm_w = interpolate(tid, bary, scene.normals)
+    norm_w = jnp.where(hit[..., None], normalize(norm_w), 0.0)
+    tex_c = interpolate(tid, bary, scene.texcoords)
+    face_n = jnp.where(hit[..., None], flat_fetch(tid, scene.face_normals()), 0.0)
+    mtl = jnp.where(hit, flat_fetch(tid, scene.material_id), -1)
+
+    # motion vectors: texC + mvec = previous-frame uv (consumed by TAA,
+    # reference TAA.ps.slang:121-130); computed with the no-jitter matrices.
+    h, w = tid.shape
+    prev_clip = transform_point(cam.prev_view_proj_no_jitter, pos_w)
+    prev_w = jnp.where(prev_clip[..., 3] == 0.0, 1.0, prev_clip[..., 3])
+    prev_uv = jnp.stack([prev_clip[..., 0] / prev_w * 0.5 + 0.5,
+                         0.5 - prev_clip[..., 1] / prev_w * 0.5], axis=-1)
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    cur_uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    mvec = jnp.where(hit[..., None], prev_uv - cur_uv, 0.0)
+
+    return {
+        "depth": vis["depth"],
+        "posW": jnp.concatenate([pos_w, hit[..., None].astype(jnp.float32)], -1),
+        "normW": norm_w,
+        "faceNormalW": face_n,
+        "texC": tex_c,
+        "mvec": mvec,
+        "mtlData": mtl.astype(jnp.int32),
+        "tri_id": tid,
+        "bary": bary,
+    }
+
+
+@register_pass("GBufferRaster")
+class GBufferRaster(RenderPass):
+    """reference Source/RenderPasses/GBuffer/GBufferRaster.cpp"""
+
+    SCHEMA = dict(outputSize="Default", samplePattern="Center", sampleCount=8,
+                  useAlphaTest=True, adjustShadingNormals=True,
+                  forceCullMode=False, cull="Back", maxPerTile=256)
+
+    def reflect(self, ctx):
+        r = PassReflection()
+        for c in ["depth", "posW", "normW", "faceNormalW", "texC", "mvec",
+                  "mtlData", "tri_id", "bary"]:
+            r.add_output(c)
+        return r
+
+    def execute(self, ctx, inputs, state=None):
+        out = raster_gbuffer(ctx.scene, ctx.width, ctx.height,
+                             cull=self.cfg["cull"].lower(),
+                             max_per_tile=int(self.cfg["maxPerTile"]))
+        return out, None
+
+
+@register_pass("DepthPass")
+class DepthPass(RenderPass):
+    """Depth pre-pass (reference Source/RenderPasses/DepthPass/). With a
+    single fused raster there is nothing to pre-warm; kept for graph parity —
+    emits the same depth channel."""
+
+    SCHEMA = dict(depthFormat="D32Float", useAlphaTest=True, cullMode="Back",
+                  maxPerTile=256)
+
+    def reflect(self, ctx):
+        return PassReflection().add_output("depth")
+
+    def execute(self, ctx, inputs, state=None):
+        cam = ctx.scene.camera
+        vis = rasterize(cam.view_proj_no_jitter, ctx.scene.positions,
+                        width=ctx.width, height=ctx.height,
+                        jitter_x=cam.jitter_x, jitter_y=cam.jitter_y,
+                        cull=self.cfg["cullMode"].lower(),
+                        max_per_tile=int(self.cfg["maxPerTile"]))
+        return {"depth": vis["depth"]}, None

@@ -1,0 +1,190 @@
+"""Render graph: DAG of passes, topo-sorted execution.
+
+Reference: RenderGraph (Source/Falcor/RenderGraph/RenderGraph.h:59-302),
+compiler topo-sort (RenderGraphCompiler.cpp:121-157), linear execution list
+(RenderGraphExe.cpp:32-44).
+
+TPU-native: "graph compilation" is just building the execution order; the
+real compilation is XLA tracing the whole frame. `frame_fn()` returns a
+pure function (scene, state, frame_index, time) -> (outputs, new_state)
+suitable for jax.jit — the analogue of RenderGraphExe, but fused end-to-end
+by the compiler instead of dispatched pass-by-pass.
+"""
+from __future__ import annotations
+
+import contextlib
+import logging
+from collections import defaultdict, deque
+
+from .render_pass import RenderContext, RenderPass, create_pass
+
+log = logging.getLogger("rtsdm")
+
+
+class RenderGraph:
+    def __init__(self, name: str = "graph"):
+        self.name = name
+        self.passes: dict[str, RenderPass] = {}
+        # data edges: (src_pass, src_chan, dst_pass, dst_chan)
+        self.edges: list[tuple[str, str, str, str]] = []
+        # pure execution-order edges: (src_pass, dst_pass)
+        self.order_edges: list[tuple[str, str]] = []
+        self.outputs: list[str] = []  # "Pass.channel"
+        self.scene = None
+        self._order: list[str] | None = None
+
+    # --- construction API (RenderGraph.h:96,135,198) ----------------------
+    def create_pass(self, name: str, pass_type: str, props: dict | None = None):
+        p = create_pass(pass_type, props)
+        return self.add_pass(p, name)
+
+    def add_pass(self, p: RenderPass, name: str):
+        if name in self.passes:
+            raise ValueError(f"pass '{name}' already in graph")
+        p.name = name
+        if self.scene is not None:
+            p.set_scene(self.scene)
+        self.passes[name] = p
+        self._order = None
+        return p
+
+    def remove_pass(self, name: str):
+        self.passes.pop(name)
+        self.edges = [e for e in self.edges if e[0] != name and e[2] != name]
+        self.order_edges = [e for e in self.order_edges if name not in e]
+        self.outputs = [o for o in self.outputs if o.split(".")[0] != name]
+        self._order = None
+
+    def add_edge(self, src: str, dst: str):
+        if "." in src and "." in dst:
+            sp, sc = src.split(".", 1)
+            dp, dc = dst.split(".", 1)
+            self.edges.append((sp, sc, dp, dc))
+        else:
+            self.order_edges.append((src.split(".")[0], dst.split(".")[0]))
+        self._order = None
+
+    def mark_output(self, name: str):
+        if name not in self.outputs:
+            self.outputs.append(name)
+
+    def unmark_output(self, name: str):
+        if name in self.outputs:
+            self.outputs.remove(name)
+
+    def set_scene(self, scene):
+        self.scene = scene
+        for p in self.passes.values():
+            p.set_scene(scene)
+
+    def get_pass(self, name: str) -> RenderPass:
+        return self.passes[name]
+
+    # --- compilation (RenderGraphCompiler.cpp:121-157) ---------------------
+    def _execution_order(self) -> list[str]:
+        if self._order is not None:
+            return self._order
+        deps = defaultdict(set)
+        for sp, _, dp, _ in self.edges:
+            deps[dp].add(sp)
+        for sp, dp in self.order_edges:
+            deps[dp].add(sp)
+        # Kahn, stable by insertion order of passes
+        indeg = {n: len(deps[n] & set(self.passes)) for n in self.passes}
+        q = deque([n for n in self.passes if indeg[n] == 0])
+        order = []
+        rev = defaultdict(list)
+        for d, srcs in deps.items():
+            for s in srcs:
+                if s in self.passes and d in self.passes:
+                    rev[s].append(d)
+        while q:
+            n = q.popleft()
+            order.append(n)
+            for m in rev[n]:
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    q.append(m)
+        if len(order) != len(self.passes):
+            missing = set(self.passes) - set(order)
+            raise RuntimeError(f"render graph has a cycle involving {missing}")
+        self._order = order
+        return order
+
+    # --- execution (RenderGraphExe.cpp:32-44) ------------------------------
+    def init_state(self, ctx: RenderContext) -> dict:
+        state = {}
+        for name in self._execution_order():
+            s = self.passes[name].init_state(ctx)
+            if s is not None:
+                state[name] = s
+        return state
+
+    def execute(self, ctx: RenderContext, state: dict | None = None,
+                external_inputs: dict | None = None):
+        """Run all passes once. Returns (marked_outputs, all_channels, new_state).
+
+        external_inputs: "Pass.channel" -> array, for graph-level setInput
+        (used by SVAO's nested SD graph, reference SVAO.cpp:363-406).
+        """
+        state = state if state is not None else {}
+        produced: dict[str, dict] = {}
+        new_state = dict(state)
+        in_edges = defaultdict(list)
+        for sp, sc, dp, dc in self.edges:
+            in_edges[dp].append((dc, sp, sc))
+
+        for name in self._execution_order():
+            p = self.passes[name]
+            inputs = {}
+            for dc, sp, sc in in_edges[name]:
+                src = produced.get(sp, {})
+                if sc not in src:
+                    raise KeyError(f"edge {sp}.{sc} -> {name}.{dc}: "
+                                   f"'{sc}' not produced (has {list(src)})")
+                inputs[dc] = src[sc]
+            if external_inputs:
+                for key, val in external_inputs.items():
+                    kp, kc = key.split(".", 1)
+                    if kp == name:
+                        inputs[kc] = val
+            refl = p.reflect(ctx)
+            for ch in refl.inputs:
+                if not ch.optional and ch.name not in inputs:
+                    raise KeyError(
+                        f"pass '{name}' ({p.pass_type}) missing required input "
+                        f"'{ch.name}' — wired inputs: {sorted(inputs)}")
+            prof = ctx.profiler.event(name) if ctx.profiler else contextlib.nullcontext()
+            with prof:
+                outputs, ns = p.execute(ctx, inputs, state.get(name))
+            produced[name] = outputs or {}
+            if ns is not None:
+                new_state[name] = ns
+
+        marked = {}
+        for o in self.outputs:
+            op, oc = o.split(".", 1)
+            marked[o] = produced[op][oc]
+        return marked, produced, new_state
+
+    def frame_fn(self, width: int, height: int, dictionary: dict | None = None,
+                 external_input_keys: tuple = ()):
+        """Build a pure per-frame function for jax.jit.
+
+        f(scene, state, frame_index, time, external_inputs) ->
+            (marked_outputs, new_state)
+        """
+        dictionary = dict(dictionary or {})
+
+        def f(scene, state, frame_index=0, time=0.0, external_inputs=None):
+            ctx = RenderContext(width=width, height=height, scene=scene,
+                                frame_index=frame_index, time=time,
+                                dictionary=dict(dictionary))
+            marked, _, new_state = self.execute(ctx, state, external_inputs)
+            return marked, new_state
+
+        return f
+
+    def get_output(self, name: str, produced: dict):
+        op, oc = name.split(".", 1)
+        return produced[op][oc]

@@ -1,0 +1,134 @@
+"""The render-pass contract, re-imagined for JAX.
+
+Reference: RenderPass base interface (Source/Falcor/RenderGraph/RenderPass.h:
+151-235) — reflect/compile/execute/setScene/getProperties — and the plugin
+registry (Source/Falcor/Core/Plugin.h, FALCOR_PLUGIN_CLASS registration e.g.
+SVAO.cpp:65-68).
+
+TPU-native shape: a pass's `execute` must be trace-pure — given
+(ctx, inputs, state) it returns (outputs, new_state) using only jnp ops and
+static host config, so a whole graph can run under one `jax.jit`. Temporal
+passes (TAA, TemporalAO, AccumulatePass) carry their history in `state`
+pytrees instead of persistent textures.
+
+Resource allocation/reflection (RenderPassReflection.h:42-171,
+ResourceCache.h:43) collapses to channel-name bookkeeping: XLA owns buffers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable
+
+log = logging.getLogger("rtsdm")
+
+PASS_REGISTRY: dict[str, type] = {}
+
+
+def register_pass(name: str):
+    """FALCOR_PLUGIN_CLASS + registerPlugin equivalent (SVAO.cpp:65-68)."""
+
+    def deco(cls):
+        cls.pass_type = name
+        PASS_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def create_pass(pass_type: str, props: dict | None = None):
+    """RenderGraph::createPass plugin lookup (RenderGraph.h:96)."""
+    if pass_type not in PASS_REGISTRY:
+        raise KeyError(f"unknown render pass type '{pass_type}' "
+                       f"(registered: {sorted(PASS_REGISTRY)})")
+    return PASS_REGISTRY[pass_type](props or {})
+
+
+@dataclasses.dataclass
+class ChannelDesc:
+    name: str
+    desc: str = ""
+    optional: bool = False
+
+
+@dataclasses.dataclass
+class PassReflection:
+    """reflect() result (RenderPassReflection field DSL,
+    RenderPassReflection.h:92-135)."""
+    inputs: list[ChannelDesc] = dataclasses.field(default_factory=list)
+    outputs: list[ChannelDesc] = dataclasses.field(default_factory=list)
+
+    def add_input(self, name, desc="", optional=False):
+        self.inputs.append(ChannelDesc(name, desc, optional))
+        return self
+
+    def add_output(self, name, desc="", optional=False):
+        self.outputs.append(ChannelDesc(name, desc, optional))
+        return self
+
+    def input_names(self):
+        return [c.name for c in self.inputs]
+
+    def output_names(self):
+        return [c.name for c in self.outputs]
+
+
+@dataclasses.dataclass
+class RenderContext:
+    """Per-frame execution context.
+
+    width/height: full render resolution (includes the guard band region).
+    dictionary: the inter-pass scalar dictionary (InternalDictionary.h; e.g.
+    guardBand, GuardBand.cpp:58-62). Host-static values only — anything traced
+    flows through channels.
+    """
+    width: int
+    height: int
+    scene: Any = None
+    frame_index: Any = 0           # traced int32 under jit
+    time: Any = 0.0
+    dictionary: dict = dataclasses.field(default_factory=dict)
+    profiler: Any = None
+
+    @property
+    def guard_band(self) -> int:
+        return int(self.dictionary.get("guardBand", 0))
+
+
+class RenderPass:
+    """Base class. Subclasses override reflect()/execute(); config is consumed
+    in __init__ via Properties.consume (host-static -> shader-define
+    equivalent: changing it retraces, mirroring requestRecompile,
+    SVAO.cpp:649)."""
+
+    pass_type = "RenderPass"
+    # key -> default; consumed from the constructor dict
+    SCHEMA: dict[str, Any] = {}
+
+    def __init__(self, props: dict | None = None):
+        from ..core.properties import Properties
+        self.cfg = Properties(props or {}).consume(dict(self.SCHEMA), self.pass_type)
+        self.scene = None
+        self.name = self.pass_type  # instance name assigned by graph.add_pass
+
+    # --- contract -------------------------------------------------------
+    def reflect(self, ctx: RenderContext) -> PassReflection:
+        return PassReflection()
+
+    def set_scene(self, scene):
+        self.scene = scene
+
+    def init_state(self, ctx: RenderContext):
+        """Initial temporal-state pytree (None for stateless passes)."""
+        return None
+
+    def execute(self, ctx: RenderContext, inputs: dict, state=None):
+        """Returns (outputs: dict, new_state)."""
+        raise NotImplementedError
+
+    def get_properties(self) -> dict:
+        """Round-trip config (RenderPass.h:189; used by graph save/load)."""
+        return dict(self.cfg)
+
+    def __repr__(self):
+        return f"<{self.pass_type} '{self.name}'>"
