@@ -36,7 +36,7 @@ _BG_DEPTH = jnp.float32(1.0)
 
 
 def _setup_triangles(view_proj, positions, width, height, jitter_x, jitter_y,
-                     cull: int):
+                     cull: int, origin=(0.0, 0.0), full_dim=None):
     """Per-triangle homogeneous setup.
 
     Returns (coef [T,5,3], bbox [T,4], valid [T]) where coef rows are:
@@ -53,9 +53,13 @@ def _setup_triangles(view_proj, positions, width, height, jitter_x, jitter_y,
 
     # homogeneous pixel coords (pixel-space x,y scaled by w); jitter shifts the
     # image by (+jitterX, -jitterY) pixels*dim — matching computeRayPinhole's
-    # sample offset (reference Camera.slang:72-74).
-    px = (x + w) * (0.5 * width) + (jitter_x * width) * w
-    py = (w - y) * (0.5 * height) - (jitter_y * height) * w
+    # sample offset (reference Camera.slang:72-74). `origin` shifts the
+    # viewport so a sub-band of a larger frame can be rasterized (used by the
+    # multi-chip screen-tile sharding); full_dim = (W,H) of the full frame.
+    fw, fh = full_dim if full_dim is not None else (width, height)
+    ox, oy = origin
+    px = (x + w) * (0.5 * fw) + (jitter_x * fw - ox) * w
+    py = (w - y) * (0.5 * fh) - (jitter_y * fh + oy) * w
     v = jnp.stack([px, py, w], axis=-1)  # [T,3(vert),3]
 
     c0 = jnp.cross(v[:, 1], v[:, 2])
@@ -186,7 +190,12 @@ def _raster_tiles(coef, lists, width, height, depth_floor=None,
 
         e0, e1, e2 = edge(0), edge(1), edge(2)
         zn, wd = edge(3), edge(4)
-        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (wd > 0.0)
+        # slightly inclusive coverage: shared mesh edges evaluate E with
+        # independent rounding per triangle, so an exact >=0 test can drop a
+        # pixel on BOTH sides (cracks); the tolerance re-covers them and the
+        # z-test resolves the double-hit
+        tol = -1e-5 * (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2))
+        inside = (e0 >= tol) & (e1 >= tol) & (e2 >= tol) & (wd > 0.0)
         z = zn / jnp.where(wd == 0.0, 1.0, wd)
         accept = (ok[:, None, None] & inside & (z >= 0.0) & (z <= 1.0)
                   & (z < z_buf))
@@ -223,11 +232,12 @@ def _raster_tiles(coef, lists, width, height, depth_floor=None,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cull", "max_per_tile",
-                                              "min_separation"))
+                                              "min_separation", "full_dim"))
 def rasterize(view_proj, positions, *, width: int, height: int,
               jitter_x=0.0, jitter_y=0.0, cull: str = "back",
               max_per_tile: int = 256, depth_floor=None,
-              min_separation: float = 0.0):
+              min_separation: float = 0.0, origin=(0.0, 0.0),
+              full_dim: tuple | None = None):
     """Rasterize a triangle soup to a visibility buffer.
 
     Args:
@@ -240,7 +250,8 @@ def rasterize(view_proj, positions, *, width: int, height: int,
     jitter_x = jnp.asarray(jitter_x, jnp.float32)
     jitter_y = jnp.asarray(jitter_y, jnp.float32)
     coef, bbox, valid = _setup_triangles(
-        view_proj, positions, width, height, jitter_x, jitter_y, CULL_MODES[cull])
+        view_proj, positions, width, height, jitter_x, jitter_y,
+        CULL_MODES[cull], origin=origin, full_dim=full_dim)
     lists, overflow = _bin_triangles(bbox, valid, width, height, max_per_tile)
     tri_id, bary, depth = _raster_tiles(coef, lists, width, height,
                                         depth_floor, min_separation)

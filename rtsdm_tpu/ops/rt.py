@@ -109,3 +109,115 @@ def closest_hit(scene, origins, dirs, tmin, tmax, chunk: int = DEFAULT_CHUNK,
     init = (jnp.full((r,), jnp.inf), jnp.full((r,), -1, jnp.int32))
     (t, tid), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     return jnp.where(tid >= 0, t, tmax), tid
+
+
+def _front_accept(scene, chunk_ids, front, alpha_test: bool):
+    """aoAnyHit's face logic (SVAO/Common.slang:679-697): front-face OR
+    double-sided OR alpha-tested counts as front; alpha-masked materials with
+    constant opacity < 0.5 fail the alpha test and are ignored.
+
+    chunk_ids: [K] triangle ids; front: [R,K] per-hit flag. Returns [R,K]."""
+    mid = scene.material_id[chunk_ids]
+    dbl = scene.mat_double_sided[mid]
+    is_alpha = scene.mat_alpha_mode[mid] == 1
+    ok = front | dbl[None, :] | is_alpha[None, :]
+    if alpha_test:
+        ok = ok & ~(is_alpha & (scene.mat_opacity[mid] < 0.5))[None, :]
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "cull", "alpha_test"))
+def vao_interval_query(scene, origins, dirs, tmin, tmax, t_sphere_start,
+                       chunk: int = DEFAULT_CHUNK, cull: int = CULL_NONE,
+                       alpha_test: bool = True):
+    """The VAO refinement ray (SVAO/Common.slang:699-713 + traceAORay,
+    SVAORaster2.ps.slang:9-46): over front hits with t in (tmin, tmax),
+      t_last_halo  = max t with t <= t_sphere_start   (halo blocker)
+      t_first_in   = min t with t >  t_sphere_start   (inside-sphere hit)
+    Returns (t_last_halo, t_first_in) with -inf/+inf when no such hit."""
+    tris, n_chunks = _pad_tris(scene.positions, chunk)
+    v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
+    tri_ids_all = jnp.arange(tris.shape[0]) % max(scene.positions.shape[0], 1)
+
+    def body(carry, idx):
+        last_halo, first_in = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
+        t, valid, front, _ = _mt_intersect(origins, dirs, sl(v0), sl(e1), sl(e2), cull)
+        in_pad = (idx * chunk + jnp.arange(chunk)) >= scene.positions.shape[0]
+        ok = valid & _front_accept(scene, sl(tri_ids_all), front, alpha_test) \
+            & ~in_pad[None, :]
+        ok = ok & (t > tmin[:, None]) & (t < tmax[:, None])
+        halo = ok & (t <= t_sphere_start[:, None])
+        inside = ok & (t > t_sphere_start[:, None])
+        last_halo = jnp.maximum(last_halo, jnp.max(jnp.where(halo, t, -jnp.inf), axis=1))
+        first_in = jnp.minimum(first_in, jnp.min(jnp.where(inside, t, jnp.inf), axis=1))
+        return (last_halo, first_in), None
+
+    r = origins.shape[0]
+    init = (jnp.full((r,), -jnp.inf), jnp.full((r,), jnp.inf))
+    (last_halo, first_in), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return last_halo, first_in
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "chunk", "cull",
+                                    "alpha_test", "kbuffer", "normalize"))
+def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
+             normalize: bool = True, kbuffer: bool = False,
+             chunk: int = 128, cull: int = CULL_BACK, alpha_test: bool = True):
+    """Stochastic depth trace: one ray per SD texel, keep `num_samples` hit
+    depths (reference StochasticDepthMapRT rayGen + algorithm(),
+    Common.slangh:102-254).
+
+    Selection is merge-based bottom-k:
+      * default reservoir: key = hash(barycentrics) — a uniform random
+        k-subset of all hits in (tmin, tmax), matching the reference's
+        reservoir insertion in distribution (Common.slangh:137-151). The
+        MAX_COUNT traversal cap is a GPU-perf knob with no brute-force
+        equivalent and is intentionally not modeled.
+      * kbuffer: key = depth — the k nearest hits (Common.slangh:211-232).
+
+    Returns depths [R, num_samples], view depth normalized to [0,1] by
+    near/far when `normalize` (Common.slangh:113-115), sorted by key;
+    missing samples hold DEFAULT_DEPTH = 1.0 (or far)."""
+    from ..utils.math import hash2
+
+    tris, n_chunks = _pad_tris(scene.positions, chunk)
+    v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
+    t_count = scene.positions.shape[0]
+    tri_ids_all = jnp.arange(tris.shape[0]) % max(t_count, 1)
+    cam = scene.camera
+    cos_w = jnp.sum(dirs * (cam.camera_w / jnp.linalg.norm(cam.camera_w)), -1)
+    near, far = cam.near_z, cam.far_z
+    default_depth = jnp.float32(1.0) if normalize else far
+
+    r = origins.shape[0]
+    k = num_samples
+
+    def body(carry, idx):
+        keys, depths = carry  # [R,k] each
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
+        t, valid, front, (u, v) = _mt_intersect(origins, dirs, sl(v0), sl(e1),
+                                                sl(e2), cull)
+        in_pad = (idx * chunk + jnp.arange(chunk)) >= t_count
+        ok = valid & _front_accept(scene, sl(tri_ids_all), front, alpha_test) \
+            & ~in_pad[None, :] & (t > tmin[:, None]) & (t < tmax[:, None])
+        view_z = t * cos_w[:, None]
+        if normalize:
+            d = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)
+        else:
+            d = view_z
+        if kbuffer:
+            key = jnp.where(ok, d, jnp.inf)
+        else:
+            key = jnp.where(ok, hash2(jnp.stack([u, v], -1)), jnp.inf)
+        d = jnp.where(ok, d, default_depth)
+        # merge: keep the k smallest keys of (current reservoir | chunk hits)
+        all_keys = jnp.concatenate([keys, key], axis=1)
+        all_d = jnp.concatenate([depths, d], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_keys, k)
+        return (-neg_top, jnp.take_along_axis(all_d, sel, axis=1)), None
+
+    init = (jnp.full((r, k), jnp.inf), jnp.full((r, k), default_depth))
+    (keys, depths), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return depths

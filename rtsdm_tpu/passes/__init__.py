@@ -11,3 +11,7 @@ from . import blur             # noqa: F401
 from . import lighting         # noqa: F401
 from . import tonemap          # noqa: F401
 from . import image_equation   # noqa: F401
+from . import stochastic_depth # noqa: F401
+from . import svao             # noqa: F401
+from . import temporal         # noqa: F401
+from . import ao_extra         # noqa: F401

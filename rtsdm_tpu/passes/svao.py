@@ -1,0 +1,499 @@
+"""SVAO — Stenciled Volumetric Ambient Occlusion (the paper's main pass).
+
+Reference: Source/RenderPasses/SVAO/ —
+  host orchestration SVAO.cpp:192-456 (phase 1 -> nested SD graph -> phase 2),
+  phase 1 shader SVAORaster.ps.slang:29-122,
+  phase 2 calcAO2 Common.slang:523-663,
+  ray fallback Ray.rt.slang / SVAORaster2.ps.slang (inline query),
+  nested SD graph construction SVAO.cpp:157-190,
+  stochastic-map sizing / guard band SVAO.cpp:700-723.
+
+TPU re-design:
+  * phase 1 is whole-array math over [H,W] with a static python loop over the
+    direction ring; the per-sample stencil bitmask is a uint32 array and the
+    atomic InterlockedMin/Max ray intervals (SVAORaster.ps.slang:94-95)
+    become scatter-min/max (`.at[].min/max`) onto the SD grid.
+  * phase 2 SD-resolve is dense masked math (gathers from the SD tensor are
+    cheap); the raytraced fallback compacts masked (pixel, direction) pairs
+    into a fixed ray budget before the interval query.
+  * the nested stochastic-depth graph is a real nested RenderGraph, like the
+    reference's (SVAO.cpp:167-190).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ao as A
+from ..ops import rt
+from ..rendergraph.graph import RenderGraph
+from ..rendergraph.render_pass import (PassReflection, RenderContext,
+                                       RenderPass, register_pass)
+from ..utils.math import (decode_normal_2x16, decode_normal_2x8, normalize,
+                          transform_vector)
+from ..utils.sampling import AO_KERNEL_HBAO, AO_KERNEL_VAO, random_jitter
+
+DEPTH_MODE_SINGLE = "SingleDepth"
+DEPTH_MODE_DUAL = "DualDepth"
+DEPTH_MODE_STOCHASTIC = "StochasticDepth"
+DEPTH_MODE_RAYTRACED = "Raytraced"
+
+_KERNELS = {"VAO": AO_KERNEL_VAO, "HBAO": AO_KERNEL_HBAO}
+
+
+def _normals_to_view(ctx, normals):
+    """Accept packed octahedral uint (CompressNormals output; 2x16 when
+    use16Bit, else 2x8 — Common.slang:98-103) or raw world-space float3."""
+    if normals.dtype in (jnp.uint32, jnp.int32):
+        # CompressNormals(viewSpace=True) packs view-space normals
+        return decode_normal_2x16(normals.astype(jnp.uint32))
+    n = normalize(normals[..., :3])
+    return normalize(transform_vector(ctx.scene.camera.view_mat, n))
+
+
+@register_pass("SVAO")
+class SVAO(RenderPass):
+    SCHEMA = dict(
+        radius=0.5, primaryDepthMode=DEPTH_MODE_SINGLE,
+        secondaryDepthMode=DEPTH_MODE_STOCHASTIC, exponent=2.0,
+        rayPipeline=True, thickness=0.0, stochMapDivisor=4, dualAO=False,
+        alphaTest=True,
+        # extended knobs (reference UI state, SVAO.h:90-127)
+        sampleCount=8, kernel="VAO", stochSamples=4, stochMaxCount=4,
+        useRayInterval=True, stochMapJitter=True, stochMapGuardBand=512,
+        traceOutOfScreen=False, stochasticDepthImpl="Ray", cullMode=None,
+        ssRadiusCutoff=6.0, ssMaxRadius=512.0, maxRayBudgetFraction=0.5,
+        rtChunk=256,
+    )
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self._sd_graph: RenderGraph | None = None
+
+    # --- sizing helpers (SVAO.cpp:700-723) --------------------------------
+    def _extra_guard(self) -> int:
+        if self.cfg["secondaryDepthMode"] != DEPTH_MODE_STOCHASTIC:
+            return 0
+        if self.cfg["stochasticDepthImpl"] != "Ray":
+            return 0
+        return int(self.cfg["stochMapGuardBand"]) // int(self.cfg["stochMapDivisor"])
+
+    def _stoch_map_size(self, full, include_guard=True):
+        d = int(self.cfg["stochMapDivisor"])
+        w, h = -(-full[0] // d), -(-full[1] // d)
+        if include_guard:
+            g = self._extra_guard()
+            w, h = w + 2 * g, h + 2 * g
+        return w, h
+
+    def reflect(self, ctx):
+        return (PassReflection()
+                .add_input("gbufferDepth").add_input("depth")
+                .add_input("depth2", optional=True).add_input("normals")
+                .add_input("color", optional=True)
+                .add_output("ao").add_output("stencil")
+                .add_output("internalRayMin").add_output("internalRayMax"))
+
+    # --- nested SD graph (SVAO.cpp:157-190) --------------------------------
+    def _build_sd_graph(self):
+        impl = self.cfg["stochasticDepthImpl"]
+        cull = self.cfg["cullMode"]
+        if cull is None:
+            # SVAO.cpp:528-531: Back for SD, None for reference ray mode
+            cull = "None" if self.cfg["secondaryDepthMode"] == DEPTH_MODE_RAYTRACED else "Back"
+        sd_dict = {
+            "SampleCount": int(self.cfg["stochSamples"]),
+            "CullMode": cull,
+            "AlphaTest": bool(self.cfg["alphaTest"]),
+            "Alpha": 1.5 / int(self.cfg["stochSamples"]),
+            "RayInterval": bool(self.cfg["useRayInterval"]),
+        }
+        g = RenderGraph("Stochastic Depth")
+        if impl == "Raster":
+            sd_dict.update(linearize=True,
+                           divisor=int(self.cfg["stochMapDivisor"]))
+            g.create_pass("StochasticDepthMap", "StochasticDepthMap", sd_dict)
+        else:
+            sd_dict.update(normalize=True,
+                           Jitter=bool(self.cfg["stochMapJitter"]),
+                           GuardBand=self._extra_guard(),
+                           MaxCount=int(self.cfg["stochMaxCount"]))
+            g.create_pass("StochasticDepthMap", "StochasticDepthMapRT", sd_dict)
+        g.mark_output("StochasticDepthMap.stochasticDepth")
+        if self.scene is not None:
+            g.set_scene(self.scene)
+        return g
+
+    def set_scene(self, scene):
+        super().set_scene(scene)
+        self._sd_graph = None
+
+    # --- config -> static VAOConfig ----------------------------------------
+    def _vao_cfg(self, ctx):
+        low = self._stoch_map_size((ctx.width, ctx.height), include_guard=False)
+        return A.VAOConfig(
+            radius=float(self.cfg["radius"]),
+            exponent=float(self.cfg["exponent"]),
+            thickness=float(self.cfg["thickness"]),
+            ss_radius_cutoff=float(self.cfg["ssRadiusCutoff"]),
+            ss_max_radius=float(self.cfg["ssMaxRadius"]),
+            num_directions=int(self.cfg["sampleCount"]),
+            kernel=_KERNELS[self.cfg["kernel"]],
+            resolution=(ctx.width, ctx.height),
+            low_resolution=low,
+            sd_guard=self._extra_guard(),
+            dual_ao=bool(self.cfg["dualAO"]),
+        )
+
+    # ------------------------------------------------------------------
+    def execute(self, ctx, inputs, state=None):
+        cam = ctx.scene.camera
+        cfg = self._vao_cfg(ctx)
+        depth = inputs["depth"]
+        depth2 = inputs.get("depth2", depth)
+        normal_v = _normals_to_view(ctx, inputs["normals"])
+        guard = ctx.guard_band
+        h, w = depth.shape
+
+        primary = self.cfg["primaryDepthMode"]
+        secondary = self.cfg["secondaryDepthMode"]
+
+        out = svao_phase1(cam, cfg, depth, depth2, normal_v, guard,
+                          primary, secondary,
+                          trace_out_of_screen=bool(self.cfg["traceOutOfScreen"]),
+                          use_ray_interval=bool(self.cfg["useRayInterval"]))
+        ao_raw, stencil = out["ao_raw"], out["stencil"]
+        ray_min, ray_max = out["ray_min"], out["ray_max"]
+
+        if secondary == DEPTH_MODE_SINGLE:
+            ao = A.finalize(cfg, ao_raw)
+            return {"ao": ao, "stencil": stencil,
+                    "internalRayMin": ray_min, "internalRayMax": ray_max}, None
+
+        sd_map = None
+        if secondary == DEPTH_MODE_STOCHASTIC:
+            if self._sd_graph is None:
+                self._sd_graph = self._build_sd_graph()
+                self._sd_graph.set_scene(ctx.scene)
+            sd_w, sd_h = self._stoch_map_size((w, h))
+            sd_ctx = RenderContext(width=sd_w, height=sd_h, scene=ctx.scene,
+                                   frame_index=ctx.frame_index, time=ctx.time,
+                                   dictionary=ctx.dictionary,
+                                   profiler=ctx.profiler)
+            marked, _, _ = self._sd_graph.execute(
+                sd_ctx, {},
+                external_inputs={"StochasticDepthMap.linearZ": depth,
+                                 "StochasticDepthMap.depthMap": inputs["gbufferDepth"],
+                                 "StochasticDepthMap.rayMin": ray_min,
+                                 "StochasticDepthMap.rayMax": ray_max})
+            sd_map = marked["StochasticDepthMap.stochasticDepth"]
+            ctx.dictionary["SD_MAP"] = sd_map
+
+        delta = svao_phase2(
+            ctx.scene, cam, cfg, depth, depth2, normal_v, stencil, sd_map,
+            primary, secondary,
+            sd_jitter=bool(self.cfg["stochMapJitter"]),
+            alpha_test=bool(self.cfg["alphaTest"]),
+            cull=(self.cfg["cullMode"] or
+                  ("None" if secondary == DEPTH_MODE_RAYTRACED else "Back")),
+            ray_budget_fraction=float(self.cfg["maxRayBudgetFraction"]),
+            rt_chunk=int(self.cfg["rtChunk"]))
+
+        refined = stencil != 0
+        if cfg.dual_ao:
+            raw2 = ao_raw + delta
+            # bright >= dark (SVAORaster2.ps.slang:62)
+            raw2 = raw2.at[..., 1].set(jnp.minimum(raw2[..., 0], raw2[..., 1]))
+            ao = jnp.where(refined[..., None], A.finalize(cfg, raw2),
+                           A.finalize(cfg, ao_raw))
+        else:
+            ao = jnp.where(refined, A.finalize(cfg, ao_raw + delta),
+                           A.finalize(cfg, ao_raw))
+        return {"ao": ao, "stencil": stencil,
+                "internalRayMin": ray_min, "internalRayMax": ray_max}, None
+
+
+# ---------------------------------------------------------------------------
+# phase 1 (SVAORaster.ps.slang main)
+# ---------------------------------------------------------------------------
+
+def svao_phase1(cam, cfg, depth, depth2, normal_v, guard, primary, secondary,
+                trace_out_of_screen=False, use_ray_interval=True):
+    h, w = depth.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1)
+    noise = A.dither_noise_for(h, w)
+    basic = A.basic_init(cam, cfg, uv, depth, normal_v, noise)
+
+    # interior mask: phase 1 only runs inside the guard band (SVAO.cpp:344-350)
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    interior = ((xx >= guard) & (xx < w - guard)
+                & (yy >= guard) & (yy < h - guard))
+
+    sd_w = cfg.low_resolution[0] + 2 * cfg.sd_guard
+    sd_h = cfg.low_resolution[1] + 2 * cfg.sd_guard
+
+    nd = cfg.num_directions
+
+    def dir_body(carry, d):
+        bright, dark, stencil, ray_min, ray_max = carry
+        s = A.sample_init(cam, cfg, basic, d["alpha"], d["r"], uv)
+        same_pix = A.is_same_pixel(cfg, uv, s["raster_uv"])
+
+        vis, oz = A.eval_depth_sample(cam, cfg, basic, s, depth,
+                                      None, None, init=True)
+        if primary == DEPTH_MODE_DUAL:
+            # evalDualVisibility: only refine when requireRay (Common.slang:498-505)
+            need2 = A.require_ray(cfg, basic, s, oz)
+            vis2, oz2 = A.eval_depth_sample(cam, cfg, basic, s, depth2, vis, oz,
+                                            init=False)
+            vis = jnp.where(need2, vis2, vis)
+            oz = jnp.where(need2, oz2, oz)
+
+        if cfg.kernel == AO_KERNEL_VAO:
+            same_contrib = (s["sphere_start"] - s["sphere_end"]) / s["pdf"]
+        else:
+            same_contrib = jnp.zeros_like(vis)
+
+        contrib = jnp.where(same_pix, same_contrib, vis)
+        contrib = jnp.where(s["valid"], contrib, 0.0)
+        bright = bright + contrib
+
+        force_ray = jnp.zeros_like(same_pix)
+        oz_int = oz
+        if secondary == DEPTH_MODE_RAYTRACED and trace_out_of_screen:
+            force_ray = force_ray | ~s["in_screen"]
+        if cfg.sd_guard > 0:
+            off = ~s["in_screen"]
+            force_ray = force_ray | off
+            oz_int = jnp.where(off, A.FLT_MAX, oz)  # SVAORaster.ps.slang:75-79
+
+        need = (A.require_ray(cfg, basic, s, oz) | force_ray)
+        need = need & s["valid"] & ~same_pix & basic["valid"] & interior
+        stencil = stencil | jnp.where(need, d["bit"], jnp.uint32(0))
+
+        if secondary == DEPTH_MODE_STOCHASTIC:
+            sd_px = A.uv_to_sd_pixel(cfg, s["sample_uv"])
+            if cfg.kernel == AO_KERNEL_VAO:
+                oz_min = jnp.minimum(
+                    oz_int, basic["radius"] + cfg.thickness * basic["radius"]
+                    + s["sphere_start"])
+            else:
+                oz_min = jnp.minimum(oz_int, s["sphere_start"])
+            rmin_v = jnp.maximum(basic["pos_len"] - oz_min, 0.0)
+            rmax_v = jnp.maximum(basic["pos_len"] - s["sphere_end"], 0.0)
+            if use_ray_interval:
+                ray_min = ray_min.at[sd_px[..., 1], sd_px[..., 0]].min(
+                    jnp.where(need, rmin_v, A.FLT_MAX))
+                ray_max = ray_max.at[sd_px[..., 1], sd_px[..., 0]].max(
+                    jnp.where(need, rmax_v, 0.0))
+            else:
+                ray_max = ray_max.at[sd_px[..., 1], sd_px[..., 0]].max(
+                    jnp.where(need, 1.0, 0.0))
+        else:
+            dark = dark + jnp.where(~need & s["valid"] & ~same_pix, vis, 0.0)
+        # same-pixel contribution lands on both channels (float2 += float,
+        # SVAORaster.ps.slang:55-59)
+        dark = dark + jnp.where(same_pix & s["valid"], same_contrib, 0.0)
+        return (bright, dark, stencil, ray_min, ray_max), None
+
+    init = (jnp.zeros((h, w)), jnp.zeros((h, w)),
+            jnp.zeros((h, w), jnp.uint32),
+            jnp.full((sd_h, sd_w), A.FLT_MAX), jnp.zeros((sd_h, sd_w)))
+    (bright, dark, stencil, ray_min, ray_max), _ = jax.lax.scan(
+        dir_body, init, A.dir_params(cfg))
+
+    scale = (2.0 if cfg.kernel == AO_KERNEL_VAO else 1.0) / nd
+    bright = bright * scale
+    # same-pixel contribution also lands on the dark channel (float2 += float)
+    dark = (dark) * scale
+    bg = ~basic["valid"]
+    bright = jnp.where(bg, 1.0, bright)
+    if cfg.dual_ao:
+        dark = jnp.where(bg, 1.0, dark)
+        ao_raw = jnp.stack([bright, dark], -1)
+    else:
+        ao_raw = bright
+    stencil = jnp.where(bg, 0, stencil)
+    return dict(ao_raw=ao_raw, stencil=stencil, ray_min=ray_min, ray_max=ray_max)
+
+
+# ---------------------------------------------------------------------------
+# phase 2 (Common.slang calcAO2:523-663)
+# ---------------------------------------------------------------------------
+
+def svao_phase2(scene, cam, cfg, depth, depth2, normal_v, stencil, sd_map,
+                primary, secondary, sd_jitter=True, alpha_test=True,
+                cull="Back", ray_budget_fraction=0.5, rt_chunk=256):
+    """Returns the additive correction `delta` to the raw phase-1 AO
+    (visibility.x -= old raster vis; += refined vis). Shape matches ao_raw."""
+    h, w = depth.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1)
+    noise = A.dither_noise_for(h, w)
+    basic = A.basic_init(cam, cfg, uv, depth, normal_v, noise)
+    nd = cfg.num_directions
+
+    delta = jnp.zeros((h, w))
+
+    if secondary == DEPTH_MODE_STOCHASTIC:
+        k = sd_map.shape[-1]
+        depth_range = cam.far_z - cam.near_z
+
+        def dir_body(delta, d):
+            bit = (stencil & d["bit"]) != 0
+            s = A.sample_init(cam, cfg, basic, d["alpha"], d["r"], uv)
+            layer = depth if primary != DEPTH_MODE_DUAL else depth2
+            vis, oz = A.eval_depth_sample(cam, cfg, basic, s, layer,
+                                          None, None, init=True)
+            old_vis = vis
+            # out-of-screen: start from the neutral sample (Common.slang:581)
+            rvis, roz = A.reset_sample(cfg, vis)
+            vis = jnp.where(s["in_screen"], vis, rvis)
+            oz = jnp.where(s["in_screen"], oz, roz)
+
+            sd_px = A.uv_to_sd_pixel(cfg, s["sample_uv"])
+            jit = random_jitter(sd_px[..., 0], sd_px[..., 1], sd_jitter)
+            low = jnp.asarray(cfg.low_resolution, jnp.float32)
+            sd_uv = (sd_px.astype(jnp.float32) - cfg.sd_guard + jit) / low
+            sd_vals = sd_map[sd_px[..., 1], sd_px[..., 0]]  # [H,W,k]
+            for kk in range(k):
+                lin = sd_vals[..., kk] * depth_range + cam.near_z
+                sp_v = cam.uv_to_view_space(sd_uv, lin)
+                vis, oz = A.add_sample(cfg, basic, s, sp_v, vis, oz, init=False)
+            return delta + jnp.where(bit, vis - old_vis, 0.0), None
+
+        delta, _ = jax.lax.scan(dir_body, delta, A.dir_params(cfg))
+    elif secondary == DEPTH_MODE_RAYTRACED:
+        delta = _phase2_raytraced(scene, cam, cfg, depth, depth2, normal_v,
+                                  stencil, basic, uv, primary,
+                                  alpha_test, cull, ray_budget_fraction,
+                                  rt_chunk)
+    scale = (2.0 if cfg.kernel == AO_KERNEL_VAO else 1.0) / nd
+    delta = delta * scale
+    if cfg.dual_ao:
+        # refined visibility lands on the bright channel only (calcAO2
+        # visibility.x adjustments); dark channel keeps its raster estimate
+        delta = jnp.stack([delta, jnp.zeros_like(delta)], -1)
+    return delta
+
+
+def _phase2_raytraced(scene, cam, cfg, depth, depth2, normal_v, stencil,
+                      basic, uv, primary, alpha_test, cull,
+                      budget_fraction, rt_chunk):
+    """Ray-fallback resolve (Common.slang:598-651). Masked (pixel, direction)
+    pairs are compacted into a fixed ray budget; overflow pairs keep their
+    raster visibility (reported via no channel — acceptable fallback)."""
+    import math
+
+    h, w = depth.shape
+    nd = cfg.num_directions
+    inv_view = jnp.linalg.inv(cam.view_mat)
+    delta = jnp.zeros((h, w))
+
+    # per-direction dense precompute, then compaction over (h*w*nd)
+    import numpy as np
+    alphas = (np.arange(nd, dtype=np.float32) / nd) * 2.0 * 3.141
+    radii = cfg.radii()
+    per_dir = []
+    for i in range(nd):
+        bit = ((stencil >> i) & 1).astype(bool)
+        s = A.sample_init(cam, cfg, basic, float(alphas[i]), float(radii[i]), uv)
+        if primary != DEPTH_MODE_DUAL:
+            vis, oz = A.eval_depth_sample(cam, cfg, basic, s, depth, None, None, True)
+        else:
+            vis, oz = A.eval_depth_sample(cam, cfg, basic, s, depth2, None, None, True)
+        old_vis = vis
+        rvis, roz = A.reset_sample(cfg, vis)
+        vis = jnp.where(s["in_screen"], vis, rvis)
+        oz = jnp.where(s["in_screen"], oz, roz)
+
+        snapped = A.get_snapped_uv(s["sample_uv"], jnp.asarray(cfg.resolution, jnp.float32))
+        dir_v = cam.uv_to_view_space(snapped, jnp.ones_like(depth))
+        dir_v = dir_v / jnp.linalg.norm(dir_v, axis=-1, keepdims=True)
+        dir_w = transform_vector(inv_view, dir_v)
+
+        pos_len = basic["pos_len"]
+        sl = s["sample_len"]
+        ratio = sl / pos_len
+        t_halo = (pos_len - s["sphere_start"] - basic["radius"]
+                  - cfg.thickness * basic["radius"]) * ratio
+        t_inside = (pos_len - s["sphere_end"]) * ratio
+        t_sphere_start = (pos_len - s["sphere_start"]) * ratio
+        eps = basic["radius"] * 0.01
+        if cfg.kernel == AO_KERNEL_VAO:
+            tmin = jnp.maximum(t_halo, 0.0)
+        else:
+            # HBAO rays span [sphereStart, sphereEnd] only (Common.slang:623-627)
+            tmin = t_sphere_start
+            t_sphere_start = jnp.zeros_like(t_sphere_start)  # every hit "inside"
+        tmin = jnp.where(s["in_screen"],
+                         jnp.maximum(tmin, (pos_len - oz) * ratio + eps), tmin)
+        per_dir.append(dict(bit=bit, vis=vis, old_vis=old_vis, dir_w=dir_w,
+                            tmin=tmin, tmax=t_inside, t_halo=t_halo,
+                            t_sphere_start=t_sphere_start, ratio=ratio,
+                            s=s, pos_len=pos_len))
+
+    # compaction
+    n_pairs = h * w * nd
+    budget = max(1024, int(n_pairs * budget_fraction))
+    budget = 1 << int(math.ceil(math.log2(budget)))
+    mask_flat = jnp.concatenate([d["bit"].reshape(-1) for d in per_dir])
+    rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    slot = jnp.where(mask_flat & (rank < budget), rank, budget)  # drop overflow
+
+    def compact(arr_list, fill):
+        flat = jnp.concatenate([a.reshape(-1, *a.shape[2:]) for a in arr_list])
+        out = jnp.full((budget + 1,) + flat.shape[1:], fill, flat.dtype)
+        return out.at[slot].set(flat, mode="drop")[:budget]
+
+    dirs_c = compact([d["dir_w"] for d in per_dir], 0.0)
+    tmin_c = compact([d["tmin"] for d in per_dir], 0.0)
+    tmax_c = compact([d["tmax"] for d in per_dir], -1.0)
+    tss_c = compact([d["t_sphere_start"] for d in per_dir], 0.0)
+
+    origins = jnp.broadcast_to(cam.pos_w, dirs_c.shape)
+    cull_i = rt.CULL_BACK if cull == "Back" else rt.CULL_NONE
+    t_last_halo, t_first_in = rt.vao_interval_query(
+        scene, origins, dirs_c, tmin_c, tmax_c, tss_c,
+        chunk=rt_chunk, cull=cull_i, alpha_test=alpha_test)
+
+    # scatter results back and fold per direction
+    inv_slot = jnp.full((n_pairs,), budget, jnp.int32)
+    idx_flat = jnp.arange(n_pairs)
+    # pair j got slot[j]; result r[slot[j]] belongs to pair j
+    halo_full = jnp.concatenate([t_last_halo, jnp.array([-jnp.inf])])[
+        jnp.where(slot < budget, slot, budget)]
+    in_full = jnp.concatenate([t_first_in, jnp.array([jnp.inf])])[
+        jnp.where(slot < budget, slot, budget)]
+    del inv_slot, idx_flat
+
+    halo_full = halo_full.reshape(nd, h, w)
+    in_full = in_full.reshape(nd, h, w)
+
+    for i, d in enumerate(per_dir):
+        s = d["s"]
+        # fold traced hits into the initialized rayData (aoAnyHit semantics:
+        # the trace starts from the initial guesses)
+        t_halo = jnp.maximum(d["t_halo"], halo_full[i])
+        t_in = jnp.minimum(d["tmax"], in_full[i])
+        ratio = d["ratio"]
+        if cfg.kernel == AO_KERNEL_VAO:
+            sphere_vis = A.calc_visibility(
+                cfg, d["pos_len"] - t_in / ratio, s["sphere_start"],
+                s["sphere_end"], s["pdf"], basic["radius"])
+            halo_vis = A.calc_halo_visibility(
+                cfg, d["pos_len"] - t_halo / ratio, s["sphere_start"],
+                s["sphere_end"], s["pdf"], basic["radius"])
+            vis = jnp.minimum(d["vis"], jnp.minimum(sphere_vis, halo_vis))
+        else:
+            # HBAO: nearest committed hit becomes the sample (Common.slang:646-650)
+            t_first = jnp.where(jnp.isfinite(in_full[i]), in_full[i], 0.0)
+            sp_w = cam.pos_w + d["dir_w"] * t_first[..., None]
+            sp_v = (sp_w @ cam.view_mat[:3, :3].T) + cam.view_mat[:3, 3]
+            vis, _ = A.add_sample(cfg, basic, s, sp_v, d["vis"],
+                                  jnp.full_like(d["vis"], A.FLT_MAX), init=False)
+        delta = delta + jnp.where(d["bit"], vis - d["old_vis"], 0.0)
+    return delta
