@@ -1,0 +1,220 @@
+"""Gather-free SVAO sampling (the TPU fast path).
+
+Why: TPUs have no hardware gather — the per-pixel texture fetches of the AO
+ring (reference SVAORaster.ps.slang / Common.slang calcAO2) run ~200x slower
+as XLA gathers than as static shifts + selects (measured on v5e). This module
+reformulates the ring sampling so every fetch is a statically-shifted copy of
+the texture selected per pixel:
+
+  * The per-pixel dither rotation (SVAO.cpp:663-688) is periodic on a 4x4
+    grid, so the image deinterleaves into 16 rotation classes
+    (reference's own interleaved-rendering trick, DeinterleaveTexture);
+    within a class the screen-space sample direction of ring direction i is
+    a single static vector (exact at screen center, small perspective skew
+    toward the borders).
+  * The per-pixel sample radius (radiusInPixels * sampleRadius[i],
+    Common.slang:355-360) is quantized onto a static level table — exact for
+    small radii, log-spaced (<=6% error) beyond. The visibility math then
+    uses the QUANTIZED effective disc radius, so the estimator stays
+    consistent (this generalizes the reference's own snap-to-pixel-center).
+  * The stochastic-depth fetch aligns perfectly when stochMapDivisor == 4:
+    SD texel of (pixel + off) = quarter_coord + static offset, a pure static
+    slice of the guard-banded SD map.
+
+The exact gather formulation stays available (VAOConfig via passes/svao.py
+`samplingMode='gather'`) for validation.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.sampling import DITHER_4X4, JITTER_4X4
+from . import ao as A
+
+# ---------------------------------------------------------------------------
+# static tables
+# ---------------------------------------------------------------------------
+
+
+def class_angles():
+    """Rotation angle per 4x4 dither class (BasicAOData.Init randRotation =
+    noise * 2*pi, Common.slang:311)."""
+    return (DITHER_4X4.reshape(16) * 2.0 * 3.141).astype(np.float32)
+
+
+def screen_dir(alpha: float, theta: float):
+    """Static screen-space unit direction of ring direction `alpha` under
+    class rotation `theta` (exact at screen center; see module docstring).
+
+    Derivation: at center, tangent=(sx,sy,0), bitangent=(-sy,sx,0) with
+    (sx,sy)=(sin theta, cos theta); disc offset v = R(theta)·(dx,dy); pixel
+    offset ∝ (v.x, -v.y)."""
+    dx, dy = math.sin(alpha), math.cos(alpha)
+    sx, sy = math.sin(theta), math.cos(theta)
+    vx = sx * dx - sy * dy
+    vy = sy * dx + sx * dy
+    return vx, -vy
+
+
+def radius_levels(max_radius_px: float):
+    return A.shift_radius_levels(max_radius_px)
+
+
+def offset_tables(cfg, max_radius_px: float):
+    """Static offsets: offs[i][c][l] = (dy, dx) integer pixel offset for
+    direction i, dither class c, radius level l."""
+    levels = radius_levels(max_radius_px)
+    thetas = class_angles()
+    nd = cfg.num_directions
+    radii = cfg.radii()
+    alphas = [(i / nd) * 2.0 * 3.141 for i in range(nd)]
+    offs = []
+    for i in range(nd):
+        per_class = []
+        for c in range(16):
+            ux, uy = screen_dir(alphas[i], float(thetas[c]))
+            per_class.append([(int(round(r * uy)), int(round(r * ux)))
+                              for r in levels])
+        offs.append(per_class)
+    return levels, offs, radii
+
+
+# ---------------------------------------------------------------------------
+# de/interleave helpers (4x4, matching the dither grid)
+# ---------------------------------------------------------------------------
+
+def deinterleave(tex):
+    """[H,W(,C)] -> [16, H/4, W/4(,C)], class = (y%4)*4 + x%4. H,W must be
+    multiples of 4 (pad upstream)."""
+    h, w = tex.shape[:2]
+    t = tex.reshape((h // 4, 4, w // 4, 4) + tex.shape[2:])
+    t = jnp.moveaxis(t, (1, 3), (0, 1))
+    return t.reshape((16, h // 4, w // 4) + tex.shape[2:])
+
+
+def interleave(planes, h, w):
+    t = planes.reshape((4, 4) + planes.shape[1:])
+    t = jnp.moveaxis(t, (0, 1), (1, 3))
+    return t.reshape((h, w) + planes.shape[3:])
+
+
+def _pad4(a):
+    h, w = a.shape[:2]
+    ph, pw = (-h) % 4, (-w) % 4
+    if ph or pw:
+        a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2), mode="edge")
+    return a
+
+
+# ---------------------------------------------------------------------------
+# the per-direction fetch
+# ---------------------------------------------------------------------------
+
+def pad_planes(planes, pad: int):
+    """Edge-replicate-pad the class planes once so every per-level fetch is a
+    single static slice (shift2d per candidate is ~8 HLO ops; a slice of a
+    padded array is 1)."""
+    return jnp.pad(planes, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+
+def fetch_direction(padded_planes, pad: int, lvl_planes, offs_i, qh, qw):
+    """For ring direction i: per-class select-of-slices.
+
+    padded_planes: [16, qh+2p, qw+2p]; lvl_planes: [16, qh, qw] int32.
+    offs_i: static [(dy,dx)] per class per level. Returns fetched [16,qh,qw].
+
+    The barriers force lvl/planes to materialize once: without them XLA
+    inlines their whole producer chains into each of the 16*L slice-select
+    fusions (measured 110GB of recomputed reads at 1080p)."""
+    padded_planes = jax.lax.optimization_barrier(padded_planes)
+    lvl_planes = jax.lax.optimization_barrier(lvl_planes)
+    out_planes = []
+    for c in range(16):
+        cy, cx = c // 4, c % 4
+        lvl = lvl_planes[c]
+        acc = jnp.zeros((qh, qw))
+        for l, (dy, dx) in enumerate(offs_i[c]):
+            # full-res offset (dy,dx) from a class-c pixel lands on class
+            # c2 = ((cy+dy)%4, (cx+dx)%4) at quarter offset floor((c+d)/4)
+            c2 = ((cy + dy) % 4) * 4 + ((cx + dx) % 4)
+            qdy, qdx = (cy + dy) // 4, (cx + dx) // 4
+            qdy = max(-pad, min(pad, qdy))
+            qdx = max(-pad, min(pad, qdx))
+            sl = padded_planes[c2, pad + qdy:pad + qdy + qh,
+                               pad + qdx:pad + qdx + qw]
+            acc = jnp.where(lvl == l, sl, acc)
+        out_planes.append(acc)
+    return jnp.stack(out_planes)
+
+
+def level_radius(levels, lvl):
+    """Analytic inverse of shift_level_index: quantized radius from the level
+    index (exact integer region + geometric region), avoiding a select chain."""
+    exact_n = A.SHIFT_EXACT_RADII
+    if len(levels) <= exact_n:
+        return (lvl + 1).astype(jnp.float32)
+    ratio = float(levels[-1] / levels[-2])
+    log_r0 = math.log(float(levels[exact_n]))
+    log_step = math.log(ratio)
+    r_log = jnp.exp(log_r0 + (lvl - exact_n).astype(jnp.float32) * log_step)
+    return jnp.where(lvl < exact_n, (lvl + 1).astype(jnp.float32), r_log)
+
+
+def class_dir_maps(cfg, alpha_i: float, h: int, w: int):
+    """Tiled per-pixel unit screen direction for ring direction i under the
+    pixel's dither-class rotation — a periodic 4x4 pattern, gather-free."""
+    thetas = class_angles().reshape(4, 4)
+    ux = np.zeros((4, 4), np.float32)
+    uy = np.zeros((4, 4), np.float32)
+    for cy in range(4):
+        for cx in range(4):
+            x, y = screen_dir(alpha_i, float(thetas[cy, cx]))
+            ux[cy, cx], uy[cy, cx] = x, y
+    reps = (-(-h // 4), -(-w // 4))
+    ux_m = jnp.asarray(np.tile(ux, reps)[:h, :w])
+    uy_m = jnp.asarray(np.tile(uy, reps)[:h, :w])
+    return ux_m, uy_m
+
+
+def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw):
+    """Stochastic-depth fetch for direction i (divisor must be 4): per class
+    and level the SD texel is quarter_coord + static offset — a static slice
+    of the guard-banded SD map [sdH, sdW, k] (the guard band doubles as the
+    slice padding). Returns sd_planes [16, qh, qw, k]."""
+    k = sd_map.shape[-1]
+    sd_h, sd_w = sd_map.shape[:2]
+    sd_map = jax.lax.optimization_barrier(sd_map)
+    lvl_planes = jax.lax.optimization_barrier(lvl_planes)
+    sd_planes = []
+    for c in range(16):
+        cy, cx = c // 4, c % 4
+        lvl = lvl_planes[c]
+        acc = jnp.zeros((qh, qw, k))
+        for l, (dy, dx) in enumerate(offs_i[c]):
+            # SD texel for class-c pixel with offset (dy,dx):
+            # floor((4q + c + d)/4) + guard = q + floor((c+d)/4) + guard
+            qdy = (cy + dy) // 4 + guard
+            qdx = (cx + dx) // 4 + guard
+            y0 = max(0, min(qdy, sd_h - qh))
+            x0 = max(0, min(qdx, sd_w - qw))
+            sl = jax.lax.slice(sd_map, (y0, x0, 0), (y0 + qh, x0 + qw, k))
+            acc = jnp.where((lvl == l)[..., None], sl, acc)
+        sd_planes.append(acc)
+    return jnp.stack(sd_planes)
+
+
+def tiled_jitter(qh, qw, enabled=True):
+    """The 4x4 SD-map sub-texel jitter as a tiled (gather-free) pattern over
+    quarter coords (Jitter.slangh:27-50; table index = (ty%4)*4 + tx%4 where
+    (ty,tx) = quarter coord + static offset — the static phase shift is a
+    <=1-texel jitter-pattern rotation, ignored)."""
+    if not enabled:
+        return jnp.full((qh, qw, 2), 0.5)
+    tab = jnp.asarray(JITTER_4X4.reshape(4, 4, 2))
+    reps_y = -(-qh // 4)
+    reps_x = -(-qw // 4)
+    return jnp.tile(tab, (reps_y, reps_x, 1))[:qh, :qw]

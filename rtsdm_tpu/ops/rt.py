@@ -159,6 +159,19 @@ def vao_interval_query(scene, origins, dirs, tmin, tmax, t_sphere_start,
     return last_halo, first_in
 
 
+_SD_INVALID = jnp.int32(2**31 - 1)
+
+
+def _pack_key_depth(key, d_norm, ok):
+    """Pack (selection key in [0,1), normalized depth in [0,1]) into one
+    int32: 15-bit key | 16-bit depth. Min over packed values selects the
+    min-key hit with its (quantized) depth attached — the trick that makes
+    bottom-k selection pure elementwise+reduce (no sorts, no gathers)."""
+    k15 = jnp.clip((key * 32767.0).astype(jnp.int32), 0, 32766)
+    d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
+    return jnp.where(ok, k15 * 65536 + d16, _SD_INVALID)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_samples", "chunk", "cull",
                                     "alpha_test", "kbuffer", "normalize"))
@@ -169,7 +182,7 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
     depths (reference StochasticDepthMapRT rayGen + algorithm(),
     Common.slangh:102-254).
 
-    Selection is merge-based bottom-k:
+    Selection is global bottom-k by key:
       * default reservoir: key = hash(barycentrics) — a uniform random
         k-subset of all hits in (tmin, tmax), matching the reference's
         reservoir insertion in distribution (Common.slangh:137-151). The
@@ -177,9 +190,14 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
         equivalent and is intentionally not modeled.
       * kbuffer: key = depth — the k nearest hits (Common.slangh:211-232).
 
-    Returns depths [R, num_samples], view depth normalized to [0,1] by
-    near/far when `normalize` (Common.slangh:113-115), sorted by key;
-    missing samples hold DEFAULT_DEPTH = 1.0 (or far)."""
+    Implementation: per triangle chunk, the chunk's k best hits are extracted
+    with k (min, mask) passes over packed int32 (key|depth) values and merged
+    into the running reservoir with k more passes — everything fuses into a
+    single elementwise+reduce kernel per chunk, nothing materializes in HBM
+    (the earlier top_k formulation was sort-bound).
+
+    Returns depths [R, num_samples] normalized to [0,1] by near/far when
+    `normalize` (Common.slangh:113-115); missing samples hold 1.0 (or far)."""
     from ..utils.math import hash2
 
     tris, n_chunks = _pad_tris(scene.positions, chunk)
@@ -189,13 +207,12 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
     cam = scene.camera
     cos_w = jnp.sum(dirs * (cam.camera_w / jnp.linalg.norm(cam.camera_w)), -1)
     near, far = cam.near_z, cam.far_z
-    default_depth = jnp.float32(1.0) if normalize else far
 
     r = origins.shape[0]
     k = num_samples
 
-    def body(carry, idx):
-        keys, depths = carry  # [R,k] each
+    def body(packed, idx):
+        # packed: [R, k] int32 reservoir (ascending not required)
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
         t, valid, front, (u, v) = _mt_intersect(origins, dirs, sl(v0), sl(e1),
                                                 sl(e2), cull)
@@ -203,21 +220,32 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
         ok = valid & _front_accept(scene, sl(tri_ids_all), front, alpha_test) \
             & ~in_pad[None, :] & (t > tmin[:, None]) & (t < tmax[:, None])
         view_z = t * cos_w[:, None]
-        if normalize:
-            d = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)
-        else:
-            d = view_z
+        d_norm = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)
         if kbuffer:
-            key = jnp.where(ok, d, jnp.inf)
+            key = d_norm
         else:
-            key = jnp.where(ok, hash2(jnp.stack([u, v], -1)), jnp.inf)
-        d = jnp.where(ok, d, default_depth)
-        # merge: keep the k smallest keys of (current reservoir | chunk hits)
-        all_keys = jnp.concatenate([keys, key], axis=1)
-        all_d = jnp.concatenate([depths, d], axis=1)
-        neg_top, sel = jax.lax.top_k(-all_keys, k)
-        return (-neg_top, jnp.take_along_axis(all_d, sel, axis=1)), None
+            key = hash2(jnp.stack([u, v], -1))
+        pk = _pack_key_depth(key, d_norm, ok)  # [R, C]
 
-    init = (jnp.full((r, k), jnp.inf), jnp.full((r, k), default_depth))
-    (keys, depths), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    return depths
+        # extract the chunk's k minima (ties collapse — harmless for hashes)
+        cand = []
+        for _ in range(k):
+            m = jnp.min(pk, axis=1)            # [R]
+            cand.append(m)
+            pk = jnp.where(pk == m[:, None], _SD_INVALID, pk)
+        both = jnp.concatenate([packed, jnp.stack(cand, axis=1)], axis=1)  # [R,2k]
+        out = []
+        for _ in range(k):
+            m = jnp.min(both, axis=1)
+            out.append(m)
+            both = jnp.where(both == m[:, None], _SD_INVALID, both)
+        return jnp.stack(out, axis=1), None
+
+    init = jnp.full((r, k), _SD_INVALID, jnp.int32)
+    packed, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    d_norm = jnp.where(packed == _SD_INVALID, 1.0,
+                       (packed % 65536).astype(jnp.float32) / 65535.0)
+    if normalize:
+        return d_norm
+    return jnp.where(packed == _SD_INVALID, far,
+                     d_norm * (far - near) + near)

@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for the stochastic-depth ray trace.
+
+Replaces the XLA scan formulation of ops/rt.py:sd_trace for the hot path:
+one ray per SD texel, Möller-Trumbore against every triangle, keep k hits by
+smallest selection key (reservoir; see ops/rt.py docstring for semantics).
+
+Kernel layout (v5e):
+  * grid over ray blocks of RB rays; ray components stored [Rp, 1] so each
+    block is a [RB, 1] sublane-major column — broadcasts against triangle
+    rows with no relayout.
+  * all triangle data lives in VMEM for the whole kernel (component-major
+    [3, Tp] arrays; ~40 KB per 1k triangles), streamed over chunks of
+    TC=128 lanes by static slices inside a fori_loop.
+  * the per-chunk [RB, TC] intersection temporaries live in registers/VMEM —
+    nothing round-trips HBM (the XLA version re-read ~200 MB per extraction
+    pass).
+  * reservoir = k packed int32 columns (15-bit key | 16-bit quantized depth,
+    see ops/rt.py:_pack_key_depth); per chunk k (min, mask) passes extract
+    the chunk's best hits, k more merge them into the carry.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RB = 256          # rays per block (sublanes)
+TC = 128          # triangles per chunk (lanes)
+INVALID = 2**31 - 1  # python int: a jnp constant would be captured by the kernel
+
+
+def _sd_kernel(n_chunks, k, eps_det, cull_back,
+               v0_ref, e1_ref, e2_ref, flag_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tmin_ref, tmax_ref, za_ref, zb_ref,
+               *out_refs):
+    # hoist the lane-broadcasts: one [RB,TC] materialization per ray
+    # component per block instead of one per use per chunk
+    bc = lambda r: jnp.broadcast_to(r[...], (RB, TC))
+    ox, oy, oz = bc(ox_ref), bc(oy_ref), bc(oz_ref)
+    dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
+    tmin, tmax = bc(tmin_ref), bc(tmax_ref)
+    za, zb = bc(za_ref), bc(zb_ref)   # d_norm = clip(t*za - zb, 0, 1)
+
+    def chunk_body(ci, carry):
+        sl = lambda ref: ref[:, pl.ds(ci * TC, TC)]          # [3, TC]
+        v0 = sl(v0_ref)
+        e1 = sl(e1_ref)
+        e2 = sl(e2_ref)
+        flag = flag_ref[:, pl.ds(ci * TC, TC)]               # [2, TC]
+        acc_back = flag[0:1]
+        reject = flag[1:2]
+        v0x, v0y, v0z = v0[0:1], v0[1:2], v0[2:3]            # [1, TC]
+        e1x, e1y, e1z = e1[0:1], e1[1:2], e1[2:3]
+        e2x, e2y, e2z = e2[0:1], e2[1:2], e2[2:3]
+
+        # Möller-Trumbore, [RB,1] x [1,TC] -> [RB,TC]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        if cull_back:
+            ok = det > eps_det
+        else:
+            ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
+        ok = ok & (reject == 0.0)
+        inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+            & (t > tmin) & (t < tmax)
+
+        d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
+        # integer hash of the barycentrics (replaces the reference's
+        # sin-based hash, Common.slangh:36-39 — same role: a uniform
+        # selection key; ~10x cheaper than two sin evaluations per lane)
+        hb = (u * 8388593.0).astype(jnp.int32) ^ ((v * 4194301.0).astype(jnp.int32) << 7)
+        hb = (hb ^ (hb >> 8)) * jnp.int32(0x9E3779B1 - (1 << 32))
+        hb = hb ^ (hb >> 13)
+        k15 = jnp.abs(hb) % 32767
+        d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
+        packed = jnp.where(ok, k15 * 65536 + d16, jnp.int32(INVALID))
+
+        # chunk's k best, then merge into carry
+        best = []
+        for _ in range(k):
+            m = jnp.min(packed, axis=1, keepdims=True)       # [RB,1]
+            best.append(m)
+            packed = jnp.where(packed == m, jnp.int32(INVALID), packed)
+        both = jnp.concatenate(list(carry) + best, axis=1)   # [RB, 2k]
+        out = []
+        for _ in range(k):
+            m = jnp.min(both, axis=1, keepdims=True)
+            out.append(m)
+            both = jnp.where(both == m, jnp.int32(INVALID), both)
+        return tuple(out)
+
+    init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
+    res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    for s in range(k):
+        out_refs[s][...] = res[s]
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "cull_back"))
+def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
+                    near, far, *, num_samples: int = 4, cull_back: bool = True):
+    """v0t/e1t/e2t: [3, Tp] component-major triangle data (Tp % TC == 0);
+    flags: [2, Tp] — row 0 >0 accepts back faces (double-sided/alpha-tested,
+    SVAO/Common.slang:695), row 1 >0 rejects the triangle entirely
+    (failed alpha test / padding); origins/dirs: [R,3]; tmin/tmax/vz_scale: [R].
+    Returns packed int32 reservoir [R, num_samples] (INVALID = miss)."""
+    r = origins.shape[0]
+    rp = r + ((-r) % RB)
+    tp = v0t.shape[1]
+    n_chunks = tp // TC
+    k = num_samples
+
+    def col(a, pad_value=0.0):
+        a = jnp.pad(a, (0, rp - r), constant_values=pad_value)
+        return a.reshape(rp, 1)
+
+    inv_range = 1.0 / (far - near)
+    za = vz_scale * inv_range
+    zb = jnp.broadcast_to(near * inv_range, (r,))
+    cols = [col(origins[:, 0]), col(origins[:, 1]), col(origins[:, 2]),
+            col(dirs[:, 0]), col(dirs[:, 1]), col(dirs[:, 2]),
+            col(tmin), col(tmax, pad_value=-1.0),  # padded rays miss all
+            col(za), col(zb)]
+
+    kernel = functools.partial(_sd_kernel, n_chunks, k, 1e-9, cull_back)
+    tri_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((2, tp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // RB,),
+        in_specs=[tri_spec, tri_spec, tri_spec, flag_spec] + [ray_spec] * 10,
+        out_specs=tuple([out_spec] * k),
+        out_shape=tuple(jax.ShapeDtypeStruct((rp, 1), jnp.int32)
+                        for _ in range(k)),
+    )(v0t, e1t, e2t, flags, *cols)
+    return jnp.concatenate(outs, axis=1)[:r]
+
+
+def prep_triangles(scene, alpha_test: bool = True):
+    """Pack triangles for the kernel (jit-traceable): component-major padded
+    arrays [3, Tp] + flags [2, Tp] (accept-backface, reject). Alpha-fail
+    triangles and padding slots are rejected in-kernel."""
+    pos = scene.positions
+    t = pos.shape[0]
+    tp = t + ((-t) % TC)
+    mid = scene.material_id
+    dbl = scene.mat_double_sided[mid]
+    is_alpha = scene.mat_alpha_mode[mid] == 1
+    opac = scene.mat_opacity[mid]
+    if alpha_test:
+        reject = (is_alpha & (opac < 0.5)).astype(jnp.float32)
+    else:
+        reject = jnp.zeros((t,), jnp.float32)
+    acc = (dbl | is_alpha).astype(jnp.float32)
+
+    def padT(a, value=0.0):
+        return jnp.pad(a, ((0, tp - t),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=value)
+
+    v0 = padT(pos[:, 0]).T
+    e1 = padT(pos[:, 1] - pos[:, 0]).T
+    e2 = padT(pos[:, 2] - pos[:, 0]).T
+    flags = jnp.stack([padT(acc), padT(reject, value=1.0)], axis=0)
+    return v0, e1, e2, flags
+
+
+def decode_packed(packed, near, far, normalize=True):
+    """packed int32 reservoir -> depths (see ops/rt.py packing)."""
+    d = jnp.where(packed == INVALID, 1.0,
+                  (packed % 65536).astype(jnp.float32) / 65535.0)
+    if normalize:
+        return d
+    return jnp.where(packed == INVALID, far, d * (far - near) + near)

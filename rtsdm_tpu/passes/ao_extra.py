@@ -157,11 +157,16 @@ class AOGuidedBlur(RenderPass):
         hs, ws = src.shape[:2]
         r = int(self.cfg["kernelRadius"])
 
-        # upsample AO to depth res by nearest (uv-space sampling)
+        # upsample AO to depth res by nearest (aligned repeat when integer
+        # ratio — gather-free; gather fallback otherwise)
         if (hs, ws) != (hf, wf):
-            ys = jnp.clip((jnp.arange(hf) * hs) // hf, 0, hs - 1)
-            xs = jnp.clip((jnp.arange(wf) * ws) // wf, 0, ws - 1)
-            src = src[ys][:, xs]
+            if hf % hs == 0 and wf % ws == 0:
+                src = jnp.repeat(jnp.repeat(src, hf // hs, axis=0),
+                                 wf // ws, axis=1)
+            else:
+                ys = jnp.clip((jnp.arange(hf) * hs) // hf, 0, hs - 1)
+                xs = jnp.clip((jnp.arange(wf) * ws) // wf, 0, ws - 1)
+                src = src[ys][:, xs]
         original = src
 
         g = ctx.guard_band
@@ -173,11 +178,11 @@ class AOGuidedBlur(RenderPass):
             means_sq = jnp.zeros_like(ao)
             wsum = jnp.zeros(ao.shape[:2])
             local_d = jnp.maximum(depth_full, 1.4e-45)
+            from ..ops.ao import shift_axis_clamped
             for it in range(-r, r + 1):
-                idx = jnp.clip(jnp.arange(ao.shape[axis]) + it, lo, hi)
-                s_ao = jnp.take(ao, idx, axis=axis)
-                s_sq = jnp.take(ao_sq, idx, axis=axis)
-                s_d = jnp.take(depth_full, idx, axis=axis)
+                s_ao = shift_axis_clamped(ao, axis, it, lo, hi)
+                s_sq = shift_axis_clamped(ao_sq, axis, it, lo, hi)
+                s_d = shift_axis_clamped(depth_full, axis, it, lo, hi)
                 spatial = _gauss(jnp.float32(it), self.SPATIAL_VARIANCE)
                 rel = jnp.minimum(jnp.abs(s_d / local_d - 1.0), 1.0)
                 w = spatial * _gauss(rel, self.DEPTH_VARIANCE)
@@ -224,11 +229,10 @@ class AOVarianceFix(RenderPass):
         acc = jnp.zeros_like(src[..., :2])
         acc_sq = jnp.zeros_like(acc)
         cnt = 0
+        from ..ops.ao import shift2d_clamped
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-                xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-                s = src[ys][:, xs][..., :2]
+                s = shift2d_clamped(src[..., :2], dy, dx)
                 acc = acc + s
                 acc_sq = acc_sq + s * s
                 cnt += 1

@@ -14,6 +14,7 @@ hash-driven coverage mask.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,7 +54,7 @@ class StochasticDepthMapRT(RenderPass):
                   Implementation="default", Alpha=0.375, RayInterval=True,
                   normalize=True, StoreNormals=False, Jitter=True,
                   GuardBand=0, MaxCount=4, linearize=False, depthFormat=None,
-                  chunk=128)
+                  chunk=128, usePallas=True)
 
     def reflect(self, ctx):
         return (PassReflection().add_input("linearZ").add_input("rayMin")
@@ -98,13 +99,29 @@ class StochasticDepthMapRT(RenderPass):
         impl = self.cfg["Implementation"]
         if isinstance(impl, int):
             impl = {0: "default", 1: "coverage", 2: "reservoir", 3: "kbuffer"}[impl]
-        depths = rt.sd_trace(
-            ctx.scene, origin[None, :].repeat(sd_h * sd_w, 0),
-            dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
-            num_samples=k, normalize=bool(self.cfg["normalize"]),
-            kbuffer=(impl == "kbuffer"), chunk=int(self.cfg["chunk"]),
-            cull=rt.CULL_BACK if self.cfg["CullMode"] == "Back" else rt.CULL_NONE,
-            alpha_test=bool(self.cfg["AlphaTest"]))
+        use_pallas = (bool(self.cfg["usePallas"]) and impl != "kbuffer"
+                      and jax.devices()[0].platform != "cpu")
+        if use_pallas:
+            from ..ops import rt_pallas as rp
+            v0t, e1t, e2t, flags = rp.prep_triangles(
+                ctx.scene, bool(self.cfg["AlphaTest"]))
+            packed = rp.sd_trace_pallas(
+                v0t, e1t, e2t, flags,
+                jnp.broadcast_to(origin, (sd_h * sd_w, 3)),
+                dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
+                cos_w.reshape(-1), cam.near_z, cam.far_z,
+                num_samples=k,
+                cull_back=(self.cfg["CullMode"] == "Back"))
+            depths = rp.decode_packed(packed, cam.near_z, cam.far_z,
+                                      bool(self.cfg["normalize"]))
+        else:
+            depths = rt.sd_trace(
+                ctx.scene, origin[None, :].repeat(sd_h * sd_w, 0),
+                dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
+                num_samples=k, normalize=bool(self.cfg["normalize"]),
+                kbuffer=(impl == "kbuffer"), chunk=int(self.cfg["chunk"]),
+                cull=rt.CULL_BACK if self.cfg["CullMode"] == "Back" else rt.CULL_NONE,
+                alpha_test=bool(self.cfg["AlphaTest"]))
         return {"stochasticDepth": depths.reshape(sd_h, sd_w, k)}, None
 
 

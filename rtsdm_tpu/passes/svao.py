@@ -64,6 +64,9 @@ class SVAO(RenderPass):
         traceOutOfScreen=False, stochasticDepthImpl="Ray", cullMode=None,
         ssRadiusCutoff=6.0, ssMaxRadius=512.0, maxRayBudgetFraction=0.5,
         rtChunk=256,
+        # 'shift' = gather-free quantized-shift sampling (TPU fast path,
+        # see ops/ao_shift.py); 'gather' = exact reference formulation
+        samplingMode="shift",
     )
 
     def __init__(self, props=None):
@@ -158,10 +161,20 @@ class SVAO(RenderPass):
         primary = self.cfg["primaryDepthMode"]
         secondary = self.cfg["secondaryDepthMode"]
 
-        out = svao_phase1(cam, cfg, depth, depth2, normal_v, guard,
-                          primary, secondary,
-                          trace_out_of_screen=bool(self.cfg["traceOutOfScreen"]),
-                          use_ray_interval=bool(self.cfg["useRayInterval"]))
+        use_shift = self.cfg["samplingMode"] == "shift"
+        # the shift-mode SD resolve needs the quarter grid aligned with the
+        # 4x4 dither classes
+        shift_sd = use_shift and int(self.cfg["stochMapDivisor"]) == 4
+
+        if use_shift:
+            from .svao_shift import svao_phase1_shift
+            phase1 = svao_phase1_shift
+        else:
+            phase1 = svao_phase1
+        out = phase1(cam, cfg, depth, depth2, normal_v, guard,
+                     primary, secondary,
+                     trace_out_of_screen=bool(self.cfg["traceOutOfScreen"]),
+                     use_ray_interval=bool(self.cfg["useRayInterval"]))
         ao_raw, stencil = out["ao_raw"], out["stencil"]
         ray_min, ray_max = out["ray_min"], out["ray_max"]
 
@@ -189,15 +202,21 @@ class SVAO(RenderPass):
             sd_map = marked["StochasticDepthMap.stochasticDepth"]
             ctx.dictionary["SD_MAP"] = sd_map
 
-        delta = svao_phase2(
-            ctx.scene, cam, cfg, depth, depth2, normal_v, stencil, sd_map,
-            primary, secondary,
-            sd_jitter=bool(self.cfg["stochMapJitter"]),
-            alpha_test=bool(self.cfg["alphaTest"]),
-            cull=(self.cfg["cullMode"] or
-                  ("None" if secondary == DEPTH_MODE_RAYTRACED else "Back")),
-            ray_budget_fraction=float(self.cfg["maxRayBudgetFraction"]),
-            rt_chunk=int(self.cfg["rtChunk"]))
+        if secondary == DEPTH_MODE_STOCHASTIC and shift_sd:
+            from .svao_shift import svao_phase2_shift
+            delta = svao_phase2_shift(
+                cam, cfg, depth, depth2, normal_v, stencil, sd_map, primary,
+                sd_jitter=bool(self.cfg["stochMapJitter"]))
+        else:
+            delta = svao_phase2(
+                ctx.scene, cam, cfg, depth, depth2, normal_v, stencil, sd_map,
+                primary, secondary,
+                sd_jitter=bool(self.cfg["stochMapJitter"]),
+                alpha_test=bool(self.cfg["alphaTest"]),
+                cull=(self.cfg["cullMode"] or
+                      ("None" if secondary == DEPTH_MODE_RAYTRACED else "Back")),
+                ray_budget_fraction=float(self.cfg["maxRayBudgetFraction"]),
+                rt_chunk=int(self.cfg["rtChunk"]))
 
         refined = stencil != 0
         if cfg.dual_ao:
@@ -237,7 +256,7 @@ def svao_phase1(cam, cfg, depth, depth2, normal_v, guard, primary, secondary,
     nd = cfg.num_directions
 
     def dir_body(carry, d):
-        bright, dark, stencil, ray_min, ray_max = carry
+        bright, dark, stencil, pix_rmin, pix_rmax = carry
         s = A.sample_init(cam, cfg, basic, d["alpha"], d["r"], uv)
         same_pix = A.is_same_pixel(cfg, uv, s["raster_uv"])
 
@@ -274,7 +293,12 @@ def svao_phase1(cam, cfg, depth, depth2, normal_v, guard, primary, secondary,
         stencil = stencil | jnp.where(need, d["bit"], jnp.uint32(0))
 
         if secondary == DEPTH_MODE_STOCHASTIC:
-            sd_px = A.uv_to_sd_pixel(cfg, s["sample_uv"])
+            # Ray intervals: instead of the reference's per-sample atomic
+            # scatter onto the SD grid (SVAORaster.ps.slang:87-95, brutally
+            # slow as XLA scatter-min/max), accumulate per-PIXEL bounds and
+            # splat+dilate them onto the SD grid after the scan (see
+            # _intervals_to_sd_grid). Conservative: intervals may widen, never
+            # shrink, so SD rays see a superset of the reference's hits.
             if cfg.kernel == AO_KERNEL_VAO:
                 oz_min = jnp.minimum(
                     oz_int, basic["radius"] + cfg.thickness * basic["radius"]
@@ -283,26 +307,30 @@ def svao_phase1(cam, cfg, depth, depth2, normal_v, guard, primary, secondary,
                 oz_min = jnp.minimum(oz_int, s["sphere_start"])
             rmin_v = jnp.maximum(basic["pos_len"] - oz_min, 0.0)
             rmax_v = jnp.maximum(basic["pos_len"] - s["sphere_end"], 0.0)
-            if use_ray_interval:
-                ray_min = ray_min.at[sd_px[..., 1], sd_px[..., 0]].min(
-                    jnp.where(need, rmin_v, A.FLT_MAX))
-                ray_max = ray_max.at[sd_px[..., 1], sd_px[..., 0]].max(
-                    jnp.where(need, rmax_v, 0.0))
-            else:
-                ray_max = ray_max.at[sd_px[..., 1], sd_px[..., 0]].max(
-                    jnp.where(need, 1.0, 0.0))
+            if not use_ray_interval:
+                rmin_v = jnp.zeros_like(rmin_v)
+                rmax_v = jnp.ones_like(rmax_v)
+            pix_rmin = jnp.minimum(pix_rmin, jnp.where(need, rmin_v, A.FLT_MAX))
+            pix_rmax = jnp.maximum(pix_rmax, jnp.where(need, rmax_v, 0.0))
         else:
             dark = dark + jnp.where(~need & s["valid"] & ~same_pix, vis, 0.0)
         # same-pixel contribution lands on both channels (float2 += float,
         # SVAORaster.ps.slang:55-59)
         dark = dark + jnp.where(same_pix & s["valid"], same_contrib, 0.0)
-        return (bright, dark, stencil, ray_min, ray_max), None
+        return (bright, dark, stencil, pix_rmin, pix_rmax), None
 
     init = (jnp.zeros((h, w)), jnp.zeros((h, w)),
             jnp.zeros((h, w), jnp.uint32),
-            jnp.full((sd_h, sd_w), A.FLT_MAX), jnp.zeros((sd_h, sd_w)))
-    (bright, dark, stencil, ray_min, ray_max), _ = jax.lax.scan(
+            jnp.full((h, w), A.FLT_MAX), jnp.zeros((h, w)))
+    (bright, dark, stencil, pix_rmin, pix_rmax), _ = jax.lax.scan(
         dir_body, init, A.dir_params(cfg))
+
+    if secondary == DEPTH_MODE_STOCHASTIC:
+        ray_min, ray_max = _intervals_to_sd_grid(
+            cfg, basic["radius_px"], pix_rmin, pix_rmax, sd_h, sd_w)
+    else:
+        ray_min = jnp.full((sd_h, sd_w), A.FLT_MAX)
+        ray_max = jnp.zeros((sd_h, sd_w))
 
     scale = (2.0 if cfg.kernel == AO_KERNEL_VAO else 1.0) / nd
     bright = bright * scale
@@ -317,6 +345,71 @@ def svao_phase1(cam, cfg, depth, depth2, normal_v, guard, primary, secondary,
         ao_raw = bright
     stencil = jnp.where(bg, 0, stencil)
     return dict(ao_raw=ao_raw, stencil=stencil, ray_min=ray_min, ray_max=ray_max)
+
+
+def _dilate(a, radius_steps, op, fill):
+    """Separable doubling dilation: after steps with shifts 1,2,..,2^(m-1)
+    the window radius is 2^m - 1."""
+    for axis in (0, 1):
+        shift = 1
+        for _ in range(radius_steps):
+            lo = jnp.full_like(a, fill)
+            hi = jnp.full_like(a, fill)
+            if axis == 0:
+                lo = lo.at[shift:].set(a[:-shift])
+                hi = hi.at[:-shift].set(a[shift:])
+            else:
+                lo = lo.at[:, shift:].set(a[:, :-shift])
+                hi = hi.at[:, :-shift].set(a[:, shift:])
+            a = op(op(a, lo), hi)
+            shift *= 2
+    return a
+
+
+def _intervals_to_sd_grid(cfg, radius_px, pix_rmin, pix_rmax, sd_h, sd_w):
+    """Per-pixel ray-interval bounds -> SD-grid rayMin/rayMax.
+
+    The reference scatters each sample's bounds into the SD texel its sample
+    lands in (InterlockedMin/Max, SVAORaster.ps.slang:87-95). Samples lie
+    within radius_px of their pixel, so a conservative equivalent is:
+      1. aligned block-reduce pixels -> their own SD texel (a reshape, fast),
+      2. dilate by the sampling radius, binned into power-of-two levels so
+         each pixel's bounds spread at most 2x its true radius.
+    Wider intervals are correct (a superset of hits reaches the reservoir)."""
+    h, w = pix_rmin.shape
+    core_w, core_h = cfg.low_resolution
+    div = max(1, round(w / core_w))
+    g = cfg.sd_guard
+
+    # radius in SD texels, clamped to the guard band (by construction
+    # sdGuard = stochMapGuardBand/divisor >= max offscreen reach)
+    import math
+    r_tex = jnp.clip(radius_px / div, 1.0, max(cfg.ss_max_radius / div, 1.0))
+    max_level = max(int(math.ceil(math.log2(max(cfg.ss_max_radius / div, 1.0)))), 0)
+
+    pad_h, pad_w = core_h * div - h, core_w * div - w
+    rmin_full = jnp.full((sd_h, sd_w), A.FLT_MAX)
+    rmax_full = jnp.zeros((sd_h, sd_w))
+    for level in range(max_level + 1):
+        lo = 0.0 if level == 0 else float(2 ** (level - 1))
+        hi = float(2 ** level)
+        sel = (r_tex > lo) & (r_tex <= hi)
+        lv_min = jnp.where(sel, pix_rmin, A.FLT_MAX)
+        lv_max = jnp.where(sel, pix_rmax, 0.0)
+        lv_min = jnp.pad(lv_min, ((0, pad_h), (0, pad_w)),
+                         constant_values=A.FLT_MAX)
+        lv_max = jnp.pad(lv_max, ((0, pad_h), (0, pad_w)))
+        lv_min = lv_min.reshape(core_h, div, core_w, div).min((1, 3))
+        lv_max = lv_max.reshape(core_h, div, core_w, div).max((1, 3))
+        # place into the guarded grid, dilate by the level radius (+1 step
+        # for the block-alignment slack)
+        gmin = jnp.full((sd_h, sd_w), A.FLT_MAX).at[g:g + core_h, g:g + core_w].set(lv_min)
+        gmax = jnp.zeros((sd_h, sd_w)).at[g:g + core_h, g:g + core_w].set(lv_max)
+        gmin = _dilate(gmin, level + 1, jnp.minimum, A.FLT_MAX)
+        gmax = _dilate(gmax, level + 1, jnp.maximum, 0.0)
+        rmin_full = jnp.minimum(rmin_full, gmin)
+        rmax_full = jnp.maximum(rmax_full, gmax)
+    return rmin_full, rmax_full
 
 
 # ---------------------------------------------------------------------------

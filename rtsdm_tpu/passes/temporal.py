@@ -26,11 +26,9 @@ def _grid_uv(h, w):
 
 
 def _shift(a, dy, dx):
-    """Edge-clamped neighbor fetch for [H,W,...] arrays."""
-    h, w = a.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return a[ys][:, xs]
+    """Edge-clamped neighbor fetch for [H,W,...] arrays (gather-free)."""
+    from ..ops.ao import shift2d_clamped
+    return shift2d_clamped(a, dy, dx)
 
 
 def _bilinear(tex, uv):
