@@ -45,6 +45,7 @@ class Renderer:
         self.graphs: list[RenderGraph] = []
         self.active_graph: RenderGraph | None = None
         self.scene = None
+        self.cameraPath = None          # scene/animation.py CameraPath
         self._scene_name = None
         self._state = None
         self._frame_fn = None
@@ -64,9 +65,20 @@ class Renderer:
         if self.active_graph is graph:
             self.active_graph = self.graphs[-1] if self.graphs else None
 
-    def loadScene(self, path: str):
+    def loadScene(self, path: str, use_cache: bool = True):
+        """Scene load via importer dispatch + SceneCache (reference
+        Mogwai.h:166 / Scene/Importer.cpp / SceneCache.h:54)."""
         self._scene_name = path
-        self.scene = load_scene(path, aspect=self.width / self.height)
+        if path.endswith((".obj", ".pyscene")):
+            from .scene.importers import load_any
+            if use_cache and path.endswith(".obj"):
+                from .scene import cache
+                from .scene.importers import import_obj
+                self.scene = cache.load_cached(path, import_obj)
+            else:
+                self.scene = load_any(path)
+        else:
+            self.scene = load_scene(path, aspect=self.width / self.height)
         for g in self.graphs:
             g.set_scene(self.scene)
         self._frame_fn = None
@@ -128,6 +140,14 @@ class Renderer:
         if self._frame_fn is None:
             self._build_frame_fn()
         scene = self._scene_comp
+        if self.cameraPath is not None:
+            # animate the camera (same pytree structure -> no recompile)
+            base = self._scene_comp.camera
+            cam = self.cameraPath.camera_at(self.clock.time, base,
+                                            dt=1.0 / self.clock.framerate,
+                                            aspect=float(base.aspect),
+                                            focal=float(base.focal_length))
+            scene = self._scene_comp.with_camera(cam)
         with self.profiler.event("renderFrame"):
             marked, self._state = self._frame_fn(
                 scene, self._state,

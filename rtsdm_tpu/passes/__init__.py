@@ -15,3 +15,7 @@ from . import stochastic_depth # noqa: F401
 from . import svao             # noqa: F401
 from . import temporal         # noqa: F401
 from . import ao_extra         # noqa: F401
+from . import pipeline_misc    # noqa: F401
+from . import measure          # noqa: F401
+from . import gbuffer_rt       # noqa: F401
+from . import stubs            # noqa: F401

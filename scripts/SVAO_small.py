@@ -1,58 +1,69 @@
-# Minimal SVAO demo graph — wiring mirrors reference scripts/SVAO_small.py:4-56
-# (the README's four outputs: ShadedTAA / AmbientOcclusionTAA / Shaded /
-# AmbientOcclusion).
-from falcor import *
+# Minimal SVAO demo pipeline — the README's four outputs (ShadedTAA /
+# AmbientOcclusionTAA / Shaded / AmbientOcclusion). Pass names and wiring
+# follow the reference's SVAO_small graph (SURVEY §2.4).
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _graphlib import build
 
-def render_graph_SVAO():
-    g = RenderGraph('SVAO')
-    g.create_pass('GBufferRaster', 'GBufferRaster', {'outputSize': 'Default', 'samplePattern': 'Center', 'sampleCount': 8, 'useAlphaTest': True, 'adjustShadingNormals': True, 'forceCullMode': False, 'cull': 'Back'})
-    g.create_pass('LinearizeDepth', 'LinearizeDepth', {'depthFormat': 'R32Float'})
-    g.create_pass('RayShadow', 'RayShadow', {})
-    g.create_pass('DepthPeeling', 'DepthPeeling', {'cullMode': 'Back', 'depthFormat': 'D32Float', 'minSeparationDistance': 0.009999999776482582})
-    g.create_pass('GuardBand', 'GuardBand', {'guardBand': 64})
-    g.create_pass('ToneMapper', 'ToneMapper', {'outputSize': 'Default', 'useSceneMetadata': True, 'exposureCompensation': 0.0, 'autoExposure': False, 'filmSpeed': 100.0, 'whiteBalance': False, 'whitePoint': 6500.0, 'operator': 'Linear', 'clamp': False, 'whiteMaxLuminance': 1.0, 'whiteScale': 11.199999809265137, 'fNumber': 1.0, 'shutter': 1.0, 'exposureMode': 'AperturePriority'})
-    g.create_pass('SVAO', 'SVAO', {'radius': 0.20000000298023224, 'primaryDepthMode': 'SingleDepth', 'secondaryDepthMode': 'StochasticDepth', 'exponent': 2.0, 'rayPipeline': True, 'thickness': 0.0, 'stochMapDivisor': 4, 'dualAO': False, 'alphaTest': True})
-    g.create_pass('CrossBilateralBlur0', 'CrossBilateralBlur', {})
-    g.create_pass('Shaded', 'ImageEquation', {'formula': 'I0[xy].r * I1[xy]', 'format': 'RGBA32Float'})
-    g.create_pass('AmbientOcclusion', 'ImageEquation', {'formula': 'I0[xy].rrra', 'format': 'RGBA32Float'})
-    g.create_pass('ShadedTAA', 'TAA', {'alpha': 0.10000000149011612, 'colorBoxSigma': 0.5, 'antiFlicker': True})
-    g.create_pass('AmbientOcclusionTAA', 'TAA', {'alpha': 0.10000000149011612, 'colorBoxSigma': 1.0, 'antiFlicker': True})
-    g.create_pass('ForwardLighting', 'ForwardLighting', {'envMapIntensity': 0.25, 'ambientIntensity': 0.25, 'lightIntensity': 0.5, 'envMapMirror': False})
-    g.create_pass('EnvMapPass', 'EnvMapPass', {})
-    g.create_pass('CompressNormals', 'CompressNormals', {'viewSpace': True, 'use16Bit': True})
-    g.create_pass('LinearizeDepth0', 'LinearizeDepth', {'depthFormat': 'R32Float'})
-    g.add_edge('GBufferRaster.posW', 'RayShadow.posW')
-    g.add_edge('GBufferRaster.normW', 'RayShadow.normalW')
-    g.add_edge('GBufferRaster.depth', 'LinearizeDepth.depth')
-    g.add_edge('GBufferRaster.depth', 'SVAO.gbufferDepth')
-    g.add_edge('ToneMapper.dst', 'SVAO.color')
-    g.add_edge('LinearizeDepth.linearDepth', 'DepthPeeling.linearZ')
-    g.add_edge('GuardBand', 'GBufferRaster')
-    g.add_edge('SVAO.ao', 'CrossBilateralBlur0.color')
-    g.add_edge('LinearizeDepth.linearDepth', 'CrossBilateralBlur0.linear depth')
-    g.add_edge('ToneMapper.dst', 'Shaded.I1')
-    g.add_edge('Shaded.out', 'ShadedTAA.colorIn')
-    g.add_edge('AmbientOcclusion.out', 'AmbientOcclusionTAA.colorIn')
-    g.add_edge('GBufferRaster.mvec', 'AmbientOcclusionTAA.motionVecs')
-    g.add_edge('GBufferRaster.mvec', 'ShadedTAA.motionVecs')
-    g.add_edge('GBufferRaster.depth', 'ForwardLighting.depth')
-    g.add_edge('GBufferRaster.depth', 'EnvMapPass.depth')
-    g.add_edge('EnvMapPass.color', 'ForwardLighting.color')
-    g.add_edge('ForwardLighting.color', 'ToneMapper.src')
-    g.add_edge('GBufferRaster.faceNormalW', 'CompressNormals.normalW')
-    g.add_edge('RayShadow.visibility', 'ForwardLighting.visibilityBuffer')
-    g.add_edge('DepthPeeling.depth2', 'LinearizeDepth0.depth')
-    g.add_edge('LinearizeDepth0.linearDepth', 'SVAO.depth2')
-    g.add_edge('CompressNormals.normalOut', 'SVAO.normals')
-    g.add_edge('LinearizeDepth.linearDepth', 'SVAO.depth')
-    g.add_edge('CrossBilateralBlur0.colorOut', 'Shaded.I0')
-    g.add_edge('CrossBilateralBlur0.colorOut', 'AmbientOcclusion.I0')
-    g.mark_output('ShadedTAA.colorOut')
-    g.mark_output('AmbientOcclusionTAA.colorOut')
-    g.mark_output('Shaded.out')
-    g.mark_output('AmbientOcclusion.out')
-    return g
+SVAO_PROPS = dict(radius=0.2, primaryDepthMode='SingleDepth',
+                  secondaryDepthMode='StochasticDepth', exponent=2.0,
+                  rayPipeline=True, thickness=0.0, stochMapDivisor=4,
+                  dualAO=False, alphaTest=True)
 
-SVAO = render_graph_SVAO()
-try: m.addGraph(SVAO)
-except NameError: None
+PASSES = [
+    ('GBufferRaster', 'GBufferRaster', dict(sampleCount=8, useAlphaTest=True, cull='Back')),
+    ('LinearizeDepth', 'LinearizeDepth', {}),
+    ('RayShadow', 'RayShadow', {}),
+    ('DepthPeeling', 'DepthPeeling', dict(cullMode='Back', minSeparationDistance=0.01)),
+    ('GuardBand', 'GuardBand', dict(guardBand=64)),
+    ('ToneMapper', 'ToneMapper', dict(operator='Linear', clamp=False)),
+    ('SVAO', 'SVAO', SVAO_PROPS),
+    ('CrossBilateralBlur0', 'CrossBilateralBlur', {}),
+    ('Shaded', 'ImageEquation', dict(formula='I0[xy].r * I1[xy]', format='RGBA32Float')),
+    ('AmbientOcclusion', 'ImageEquation', dict(formula='I0[xy].rrra', format='RGBA32Float')),
+    ('ShadedTAA', 'TAA', dict(alpha=0.1, colorBoxSigma=0.5, antiFlicker=True)),
+    ('AmbientOcclusionTAA', 'TAA', dict(alpha=0.1, colorBoxSigma=1.0, antiFlicker=True)),
+    ('ForwardLighting', 'ForwardLighting', dict(envMapIntensity=0.25, ambientIntensity=0.25, lightIntensity=0.5)),
+    ('EnvMapPass', 'EnvMapPass', {}),
+    ('CompressNormals', 'CompressNormals', dict(viewSpace=True, use16Bit=True)),
+    ('LinearizeDepth0', 'LinearizeDepth', {}),
+]
+
+EDGES = [
+    ('GBufferRaster.posW', 'RayShadow.posW'),
+    ('GBufferRaster.normW', 'RayShadow.normalW'),
+    ('GBufferRaster.depth', 'LinearizeDepth.depth'),
+    ('GBufferRaster.depth', 'SVAO.gbufferDepth'),
+    ('ToneMapper.dst', 'SVAO.color'),
+    ('LinearizeDepth.linearDepth', 'DepthPeeling.linearZ'),
+    ('GuardBand', 'GBufferRaster'),
+    ('SVAO.ao', 'CrossBilateralBlur0.color'),
+    ('LinearizeDepth.linearDepth', 'CrossBilateralBlur0.linear depth'),
+    ('ToneMapper.dst', 'Shaded.I1'),
+    ('Shaded.out', 'ShadedTAA.colorIn'),
+    ('AmbientOcclusion.out', 'AmbientOcclusionTAA.colorIn'),
+    ('GBufferRaster.mvec', 'AmbientOcclusionTAA.motionVecs'),
+    ('GBufferRaster.mvec', 'ShadedTAA.motionVecs'),
+    ('GBufferRaster.depth', 'ForwardLighting.depth'),
+    ('GBufferRaster.depth', 'EnvMapPass.depth'),
+    ('EnvMapPass.color', 'ForwardLighting.color'),
+    ('ForwardLighting.color', 'ToneMapper.src'),
+    ('GBufferRaster.faceNormalW', 'CompressNormals.normalW'),
+    ('RayShadow.visibility', 'ForwardLighting.visibilityBuffer'),
+    ('DepthPeeling.depth2', 'LinearizeDepth0.depth'),
+    ('LinearizeDepth0.linearDepth', 'SVAO.depth2'),
+    ('CompressNormals.normalOut', 'SVAO.normals'),
+    ('LinearizeDepth.linearDepth', 'SVAO.depth'),
+    ('CrossBilateralBlur0.colorOut', 'Shaded.I0'),
+    ('CrossBilateralBlur0.colorOut', 'AmbientOcclusion.I0'),
+]
+
+OUTPUTS = ['ShadedTAA.colorOut', 'AmbientOcclusionTAA.colorOut',
+           'Shaded.out', 'AmbientOcclusion.out']
+
+SVAO = build('SVAO', PASSES, EDGES, OUTPUTS)
+try:
+    m.addGraph(SVAO)
+except NameError:
+    pass

@@ -1,0 +1,36 @@
+"""All shipped graph scripts must build and topo-sort cleanly (the reference
+graphs' wiring contract, SURVEY §2.4)."""
+import glob
+import os
+
+import pytest
+
+from rtsdm_tpu.mogwai import Renderer, run_script
+
+SCRIPTS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts", "*.py")))
+SCRIPTS = [s for s in SCRIPTS if not os.path.basename(s).startswith("_")]
+
+
+@pytest.mark.parametrize("script", SCRIPTS, ids=os.path.basename)
+def test_script_builds(script):
+    m = Renderer(width=64, height=64, use_jit=False)
+    run_script(script, m)
+    assert m.active_graph is not None
+    order = m.active_graph._execution_order()
+    assert len(order) == len(m.active_graph.passes)
+
+
+def test_svao_depth_renders():
+    m = Renderer(width=64, height=64, use_jit=False)
+    run_script(os.path.join(os.path.dirname(__file__), "..", "scripts",
+                            "SVAO_depth.py"), m)
+    m.active_graph.get_pass("GuardBand").cfg["guardBand"] = 4
+    for pn in ("GBufferRaster", "DepthPeeling"):
+        m.active_graph.get_pass(pn).cfg["maxPerTile"] = 64
+    m.active_graph.get_pass("SVAO_ref").cfg["rtChunk"] = 64
+    m.loadScene("CornellBox")
+    m.clock.pause()
+    out = m.renderFrame()
+    assert out["Ambient.out"].shape == (64, 64, 4)
+    assert out["AmbientRef.out"].shape == (64, 64, 4)
