@@ -33,6 +33,7 @@ INVALID = 2**31 - 1  # python int: a jnp constant would be captured by the kerne
 
 
 def _sd_kernel(n_chunks, k, eps_det, cull_back,
+               aabb_ref,
                v0_ref, e1_ref, e2_ref, flag_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, za_ref, zb_ref,
@@ -45,7 +46,35 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
     tmin, tmax = bc(tmin_ref), bc(tmax_ref)
     za, zb = bc(za_ref), bc(zb_ref)   # d_norm = clip(t*za - zb, 0, 1)
 
+    # conservative AABB of this ray block's segments (SD-texel blocks are
+    # spatially coherent; empty intervals contribute nothing) — the bundle
+    # side of the chunk-AABB cull
+    valid = tmax > tmin
+
+    def _seg_bounds(o_c, d_c):
+        a = o_c + d_c * tmin
+        b = o_c + d_c * tmax
+        lo = jnp.where(valid, jnp.minimum(a, b), jnp.inf)
+        hi = jnp.where(valid, jnp.maximum(a, b), -jnp.inf)
+        return jnp.min(lo), jnp.max(hi)
+
+    bx0, bx1 = _seg_bounds(ox_ref[...], dx_ref[...])
+    by0, by1 = _seg_bounds(oy_ref[...], dy_ref[...])
+    bz0, bz1 = _seg_bounds(oz_ref[...], dz_ref[...])
+
     def chunk_body(ci, carry):
+        # chunk-AABB vs block-AABB cull (morton-sorted triangles make chunk
+        # bounds tight — a 1-level BVH)
+        overlap = ((aabb_ref[0, ci] <= bx1) & (aabb_ref[3, ci] >= bx0)
+                   & (aabb_ref[1, ci] <= by1) & (aabb_ref[4, ci] >= by0)
+                   & (aabb_ref[2, ci] <= bz1) & (aabb_ref[5, ci] >= bz0))
+
+        def run_chunk(carry):
+            return _chunk_math(ci, carry)
+
+        return jax.lax.cond(overlap, run_chunk, lambda c: c, carry)
+
+    def _chunk_math(ci, carry):
         sl = lambda ref: ref[:, pl.ds(ci * TC, TC)]          # [3, TC]
         v0 = sl(v0_ref)
         e1 = sl(e1_ref)
@@ -137,7 +166,22 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
             col(tmin), col(tmax, pad_value=-1.0),  # padded rays miss all
             col(za), col(zb)]
 
+    # chunk AABBs [8, n_chunks] (6 used) for the in-kernel cull; rejected
+    # (padding/alpha-fail) triangles must not extend the bounds
+    v0r = v0t.T.reshape(n_chunks, TC, 3)
+    e1r = e1t.T.reshape(n_chunks, TC, 3)
+    e2r = e2t.T.reshape(n_chunks, TC, 3)
+    rej = (flags[1].reshape(n_chunks, TC, 1) > 0.0)
+    corners = jnp.stack([v0r, v0r + e1r, v0r + e2r], axis=2)  # [nc,TC,3,3]
+    big = jnp.float32(3e38)
+    cmin = jnp.where(rej[:, :, None], big, corners).min((1, 2))
+    cmax = jnp.where(rej[:, :, None], -big, corners).max((1, 2))
+    aabb = jnp.zeros((8, n_chunks))
+    aabb = aabb.at[0:3].set(cmin.T).at[3:6].set(cmax.T)
+
     kernel = functools.partial(_sd_kernel, n_chunks, k, 1e-9, cull_back)
+    aabb_spec = pl.BlockSpec((8, n_chunks), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     flag_spec = pl.BlockSpec((2, tp), lambda i: (0, 0),
@@ -150,11 +194,12 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
     outs = pl.pallas_call(
         kernel,
         grid=(rp // RB,),
-        in_specs=[tri_spec, tri_spec, tri_spec, flag_spec] + [ray_spec] * 10,
+        in_specs=[aabb_spec, tri_spec, tri_spec, tri_spec, flag_spec]
+        + [ray_spec] * 10,
         out_specs=tuple([out_spec] * k),
         out_shape=tuple(jax.ShapeDtypeStruct((rp, 1), jnp.int32)
                         for _ in range(k)),
-    )(v0t, e1t, e2t, flags, *cols)
+    )(aabb, v0t, e1t, e2t, flags, *cols)
     return jnp.concatenate(outs, axis=1)[:r]
 
 

@@ -68,9 +68,27 @@ class Scene:
 
 def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
                materials=None, lights=None, env_radiance=(0.0, 0.0, 0.0),
-               camera: Camera | None = None) -> Scene:
+               camera: Camera | None = None, morton_sort: bool = True) -> Scene:
     """Assemble a Scene from host data (the SceneBuilder equivalent,
-    reference Source/Falcor/Scene/SceneBuilder.h:54)."""
+    reference Source/Falcor/Scene/SceneBuilder.h:54).
+
+    morton_sort orders triangles along a Morton curve of their centroids —
+    the BLAS-build analogue (Scene.cpp:3091): ray-trace chunks become
+    spatially tight (enabling chunk-AABB culling) and raster binning gets
+    more coherent."""
+    positions = np.asarray(positions, np.float32)
+    if morton_sort and positions.shape[0] > 1:
+        from ..native import scenekit
+        cent = positions.mean(axis=1)
+        codes = scenekit.morton_codes(cent, cent.min(0), cent.max(0))
+        order = np.argsort(codes, kind="stable")
+        positions = positions[order]
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)[order]
+        if texcoords is not None:
+            texcoords = np.asarray(texcoords, np.float32)[order]
+        if material_id is not None:
+            material_id = np.asarray(material_id, np.int32)[order]
     positions = jnp.asarray(positions, jnp.float32)
     t = positions.shape[0]
     if normals is None:
