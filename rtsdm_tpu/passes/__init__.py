@@ -19,3 +19,6 @@ from . import pipeline_misc    # noqa: F401
 from . import measure          # noqa: F401
 from . import gbuffer_rt       # noqa: F401
 from . import stubs            # noqa: F401
+from . import ml               # noqa: F401
+from . import debug            # noqa: F401
+from . import path_tracer      # noqa: F401

@@ -1,0 +1,92 @@
+"""ML-experiment passes.
+
+References:
+  VAOExport (Source/RenderPasses/VAOExport/VAOExport.cpp:57-62) — numpy
+    training-data exporter for the SVAO neural-net experiments,
+  ConvolutionalNet (Source/RenderPasses/ConvolutionalNet/, weights from .npy,
+    shader codegen NeuralNetDefines.slangh; SVAO/NeuralNet.h:6-84) — CNN
+    inference on AO channels.
+
+TPU design: the CNN runs as bf16 lax.conv_general_dilated stacks — the one
+place in the pipeline that uses the MXU directly (the reference generates
+unrolled shader code instead)."""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
+
+
+@register_pass("VAOExport")
+class VAOExport(RenderPass):
+    """Dumps the wired channels as .npy per frame (training-data capture)."""
+
+    SCHEMA = dict(outputDir="/tmp/vao_export", prefix="vao", enabled=True)
+
+    CHANNELS = ["bright", "dark", "depth", "normals", "ao", "requireRay"]
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self.frame = 0
+
+    def reflect(self, ctx):
+        r = PassReflection()
+        for c in self.CHANNELS:
+            r.add_input(c, optional=True)
+        return r
+
+    def execute(self, ctx, inputs, state=None):
+        if self.cfg["enabled"]:
+            os.makedirs(self.cfg["outputDir"], exist_ok=True)
+            for k, v in inputs.items():
+                np.save(os.path.join(
+                    self.cfg["outputDir"],
+                    f"{self.cfg['prefix']}_{k}_{self.frame}.npy"),
+                    np.asarray(v, np.float32))
+            self.frame += 1
+        return {}, None
+
+
+@register_pass("ConvolutionalNet")
+class ConvolutionalNet(RenderPass):
+    """Small CNN on image channels. Weights: an .npz with conv kernels
+    w0..wN [kh,kw,cin,cout] and biases b0..bN; identity (pass-through) when
+    no weights file is configured. Runs in bf16 on the MXU."""
+
+    SCHEMA = dict(weights="", kernel=3, relu=True)
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self._layers = None
+        if self.cfg["weights"] and os.path.exists(self.cfg["weights"]):
+            z = np.load(self.cfg["weights"])
+            n = len([k for k in z.files if k.startswith("w")])
+            self._layers = [(jnp.asarray(z[f"w{i}"], jnp.bfloat16),
+                             jnp.asarray(z[f"b{i}"], jnp.bfloat16))
+                            for i in range(n)]
+
+    def reflect(self, ctx):
+        return PassReflection().add_input("input").add_output("output")
+
+    def execute(self, ctx, inputs, state=None):
+        x = inputs["input"]
+        if self._layers is None:
+            return {"output": x}, None
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[..., None]
+        y = x.astype(jnp.bfloat16)[None]  # NHWC
+        for i, (w, b) in enumerate(self._layers):
+            y = jax.lax.conv_general_dilated(
+                y, w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            y = y + b
+            if self.cfg["relu"] and i + 1 < len(self._layers):
+                y = jnp.maximum(y, 0)
+        out = y[0].astype(jnp.float32)
+        return {"output": out[..., 0] if squeeze and out.shape[-1] == 1 else out}, None
