@@ -31,6 +31,25 @@ from .scene.camera import Camera
 from .utils.structs import replace
 
 
+class TimingCapture:
+    """Writes the frame time per frame to a file (reference Mogwai extension
+    Extensions/Profiler/TimingCapture.h:34)."""
+
+    def __init__(self, renderer):
+        self._renderer = renderer
+        self._path = None
+        self._file = None
+
+    def captureFrameTime(self, path):
+        self._path = path
+        self._file = open(path, "w") if path else None
+
+    def _record(self, ms):
+        if self._file:
+            self._file.write(f"{ms:.4f}\n")
+            self._file.flush()
+
+
 class Renderer:
     """The `m` object."""
 
@@ -42,6 +61,7 @@ class Renderer:
         self.profiler = Profiler(enabled=False)
         self.frameCapture = FrameCapture()
         self.frameCapture._attach(self)
+        self.timingCapture = TimingCapture(self)
         self.graphs: list[RenderGraph] = []
         self.active_graph: RenderGraph | None = None
         self.scene = None
@@ -83,6 +103,12 @@ class Renderer:
             g.set_scene(self.scene)
         self._frame_fn = None
         self._state = None
+
+    def saveConfig(self, path: str):
+        """Round-trip the active graph to a python script (Mogwai 'save
+        config', RenderGraphImportExport/ScriptWriter)."""
+        from .core.script_writer import save_graph_script
+        save_graph_script(self.active_graph, path)
 
     def resizeFrameBuffer(self, width: int, height: int):
         self.width, self.height = width, height
@@ -148,11 +174,14 @@ class Renderer:
                                             aspect=float(base.aspect),
                                             focal=float(base.focal_length))
             scene = self._scene_comp.with_camera(cam)
+        import time as _time
+        t0 = _time.perf_counter()
         with self.profiler.event("renderFrame"):
             marked, self._state = self._frame_fn(
                 scene, self._state,
                 frame_index=self.clock.frame, time=self.clock.time)
             jax.block_until_ready(marked)
+        self.timingCapture._record((_time.perf_counter() - t0) * 1e3)
         # crop the guard band off marked outputs (capture shows the target res)
         _, _, gb = self._render_res()
         if gb:
