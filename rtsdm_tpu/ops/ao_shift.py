@@ -180,11 +180,15 @@ def class_dir_maps(cfg, alpha_i: float, h: int, w: int):
     return ux_m, uy_m
 
 
-def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw):
-    """Stochastic-depth fetch for direction i (divisor must be 4): per class
-    and level the SD texel is quarter_coord + static offset — a static slice
-    of the guard-banded SD map [sdH, sdW, k] (the guard band doubles as the
-    slice padding). Returns sd_planes [16, qh, qw, k]."""
+def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw,
+                       divisor: int = 4):
+    """Stochastic-depth fetch for direction i (divisor in {1,2,4}): for a
+    class-c pixel (full-res 4q + c) with static offset d, the SD texel is
+    floor((4q + c + d)/div) + guard = (4/div) q + floor((c+d)/div) + guard —
+    a static STRIDED slice of the guard-banded SD map [sdH, sdW, k] (the
+    guard band doubles as slice padding). Returns sd_planes [16, qh, qw, k]."""
+    assert divisor in (1, 2, 4)
+    stride = 4 // divisor
     k = sd_map.shape[-1]
     sd_h, sd_w = sd_map.shape[:2]
     sd_map = jax.lax.optimization_barrier(sd_map)
@@ -195,13 +199,14 @@ def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw):
         lvl = lvl_planes[c]
         acc = jnp.zeros((qh, qw, k))
         for l, (dy, dx) in enumerate(offs_i[c]):
-            # SD texel for class-c pixel with offset (dy,dx):
-            # floor((4q + c + d)/4) + guard = q + floor((c+d)/4) + guard
-            qdy = (cy + dy) // 4 + guard
-            qdx = (cx + dx) // 4 + guard
-            y0 = max(0, min(qdy, sd_h - qh))
-            x0 = max(0, min(qdx, sd_w - qw))
-            sl = jax.lax.slice(sd_map, (y0, x0, 0), (y0 + qh, x0 + qw, k))
+            qdy = (cy + dy) // divisor + guard
+            qdx = (cx + dx) // divisor + guard
+            y0 = max(0, min(qdy, sd_h - 1 - (qh - 1) * stride))
+            x0 = max(0, min(qdx, sd_w - 1 - (qw - 1) * stride))
+            sl = jax.lax.slice(sd_map, (y0, x0, 0),
+                               (y0 + (qh - 1) * stride + 1,
+                                x0 + (qw - 1) * stride + 1, k),
+                               (stride, stride, 1))
             acc = jnp.where((lvl == l)[..., None], sl, acc)
         sd_planes.append(acc)
     return jnp.stack(sd_planes)

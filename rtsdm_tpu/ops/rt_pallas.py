@@ -38,9 +38,11 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, za_ref, zb_ref,
                *out_refs):
-    # hoist the lane-broadcasts: one [RB,TC] materialization per ray
-    # component per block instead of one per use per chunk
-    bc = lambda r: jnp.broadcast_to(r[...], (RB, TC))
+    # ray blocks arrive as [1, RB] rows (compact in HBM — a [Rp,1] column
+    # layout tile-pads x128 and OOMs at multi-megaray counts); reshape to
+    # [RB, 1] columns once, then hoist the lane-broadcasts: one [RB,TC]
+    # materialization per ray component per block instead of one per use
+    bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
     ox, oy, oz = bc(ox_ref), bc(oy_ref), bc(oz_ref)
     dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
     tmin, tmax = bc(tmin_ref), bc(tmax_ref)
@@ -58,9 +60,10 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
         hi = jnp.where(valid, jnp.maximum(a, b), -jnp.inf)
         return jnp.min(lo), jnp.max(hi)
 
-    bx0, bx1 = _seg_bounds(ox_ref[...], dx_ref[...])
-    by0, by1 = _seg_bounds(oy_ref[...], dy_ref[...])
-    bz0, bz1 = _seg_bounds(oz_ref[...], dz_ref[...])
+    col = lambda r: jnp.reshape(r[...], (RB, 1))
+    bx0, bx1 = _seg_bounds(col(ox_ref), col(dx_ref))
+    by0, by1 = _seg_bounds(col(oy_ref), col(dy_ref))
+    bz0, bz1 = _seg_bounds(col(oz_ref), col(dz_ref))
 
     def chunk_body(ci, carry):
         # chunk-AABB vs block-AABB cull (morton-sorted triangles make chunk
@@ -137,7 +140,7 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
     res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
     for s in range(k):
-        out_refs[s][...] = res[s]
+        out_refs[s][...] = jnp.reshape(res[s], (1, 1, RB))
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "cull_back"))
@@ -154,9 +157,11 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
     n_chunks = tp // TC
     k = num_samples
 
+    nb = rp // RB
+
     def col(a, pad_value=0.0):
         a = jnp.pad(a, (0, rp - r), constant_values=pad_value)
-        return a.reshape(rp, 1)
+        return a.reshape(nb, 1, RB)
 
     inv_range = 1.0 / (far - near)
     za = vz_scale * inv_range
@@ -186,9 +191,9 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
                             memory_space=pltpu.VMEM)
     flag_spec = pl.BlockSpec((2, tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((RB, 1), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -197,10 +202,10 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
         in_specs=[aabb_spec, tri_spec, tri_spec, tri_spec, flag_spec]
         + [ray_spec] * 10,
         out_specs=tuple([out_spec] * k),
-        out_shape=tuple(jax.ShapeDtypeStruct((rp, 1), jnp.int32)
+        out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32)
                         for _ in range(k)),
     )(aabb, v0t, e1t, e2t, flags, *cols)
-    return jnp.concatenate(outs, axis=1)[:r]
+    return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
 
 
 def prep_triangles(scene, alpha_test: bool = True):
@@ -238,3 +243,15 @@ def decode_packed(packed, near, far, normalize=True):
     if normalize:
         return d
     return jnp.where(packed == INVALID, far, d * (far - near) + near)
+
+
+def any_hit_pallas(scene, origins, dirs, tmin, tmax, alpha_test: bool = True):
+    """Boolean shadow-ray occlusion through the SD kernel (k=1): hit = the
+    1-slot reservoir caught anything. Both faces block (RayShadow semantics,
+    RayShadow.ps.slang:131-186 — no cull flags on shadow rays)."""
+    v0t, e1t, e2t, flags = prep_triangles(scene, alpha_test)
+    flags = flags.at[0].set(1.0)  # back faces block shadow rays
+    vz = jnp.ones_like(tmin)      # depth output unused
+    packed = sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax,
+                             vz, 0.0, 1.0, num_samples=1, cull_back=False)
+    return packed[:, 0] != INVALID

@@ -23,3 +23,4 @@ from . import ml               # noqa: F401
 from . import debug            # noqa: F401
 from . import path_tracer      # noqa: F401
 from . import postfx           # noqa: F401
+from . import whitted          # noqa: F401

@@ -78,9 +78,16 @@ class RayShadow(RenderPass):
             tmin = scene.camera.near_z * 0.1
             origins = p.reshape(-1, 3)
             dirs = jnp.broadcast_to(to_light, p.shape).reshape(-1, 3)
-            hit = rt.any_hit(scene, origins, dirs,
-                             jnp.full((h * w,), tmin, jnp.float32),
-                             tmax.reshape(-1))
+            import jax as _jax
+            if _jax.devices()[0].platform != "cpu":
+                from ..ops.rt_pallas import any_hit_pallas
+                hit = any_hit_pallas(scene, origins, dirs,
+                                     jnp.broadcast_to(tmin, (h * w,)),
+                                     tmax.reshape(-1))
+            else:
+                hit = rt.any_hit(scene, origins, dirs,
+                                 jnp.broadcast_to(tmin, (h * w,)),
+                                 tmax.reshape(-1))
             vis = jnp.where(hit.reshape(h, w), 0.0, 1.0)
             # backfacing surfaces are occluded (RayShadow.ps.slang:178)
             facing = jnp.sum(jnp.broadcast_to(to_light, n.shape) * n, -1) > 0.0

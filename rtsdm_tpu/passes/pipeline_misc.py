@@ -251,6 +251,31 @@ class InvalidPixelDetection(RenderPass):
         return {"dst": out}, None
 
 
+@register_pass("DownsamplePass")
+class DownsamplePass(RenderPass):
+    """Aligned block downsample (point/min/mean) — feeds the quarter-res AO
+    path of BASELINE config 4. Depth should use 'point' or 'min' (never mean
+    across depth edges)."""
+
+    SCHEMA = dict(factor=4, mode="point")
+
+    def reflect(self, ctx):
+        return PassReflection().add_input("input").add_output("output")
+
+    def execute(self, ctx, inputs, state=None):
+        x = inputs["input"]
+        f = int(self.cfg["factor"])
+        h, w = x.shape[:2]
+        hp, wp = h - h % f, w - w % f
+        x = x[:hp, :wp]
+        if self.cfg["mode"] == "point":
+            out = x[f // 2::f, f // 2::f]
+        else:
+            r = x.reshape((hp // f, f, wp // f, f) + x.shape[2:])
+            out = r.min((1, 3)) if self.cfg["mode"] == "min" else r.mean((1, 3))
+        return {"output": out}, None
+
+
 @register_pass("DepthPeelSinglePass")
 class DepthPeelSinglePass(RenderPass):
     """Approximate 2-layer peel in one raster (DepthPeelSinglePass.cpp:

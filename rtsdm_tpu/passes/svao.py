@@ -132,8 +132,11 @@ class SVAO(RenderPass):
         self._sd_graph = None
 
     # --- config -> static VAOConfig ----------------------------------------
-    def _vao_cfg(self, ctx):
-        low = self._stoch_map_size((ctx.width, ctx.height), include_guard=False)
+    def _vao_cfg(self, ctx, res=None):
+        # resolution follows the wired depth input, not the graph default —
+        # quarter-res AO (BASELINE config 4) feeds downsampled inputs
+        res = res or (ctx.width, ctx.height)
+        low = self._stoch_map_size(res, include_guard=False)
         return A.VAOConfig(
             radius=float(self.cfg["radius"]),
             exponent=float(self.cfg["exponent"]),
@@ -142,7 +145,7 @@ class SVAO(RenderPass):
             ss_max_radius=float(self.cfg["ssMaxRadius"]),
             num_directions=int(self.cfg["sampleCount"]),
             kernel=_KERNELS[self.cfg["kernel"]],
-            resolution=(ctx.width, ctx.height),
+            resolution=res,
             low_resolution=low,
             sd_guard=self._extra_guard(),
             dual_ao=bool(self.cfg["dualAO"]),
@@ -151,20 +154,21 @@ class SVAO(RenderPass):
     # ------------------------------------------------------------------
     def execute(self, ctx, inputs, state=None):
         cam = ctx.scene.camera
-        cfg = self._vao_cfg(ctx)
         depth = inputs["depth"]
+        cfg = self._vao_cfg(ctx, (depth.shape[1], depth.shape[0]))
         depth2 = inputs.get("depth2", depth)
         normal_v = _normals_to_view(ctx, inputs["normals"])
-        guard = ctx.guard_band
+        # dictionary guard band is in full-res pixels; scale to input res
+        guard = (ctx.guard_band * depth.shape[1]) // max(ctx.width, 1)
         h, w = depth.shape
 
         primary = self.cfg["primaryDepthMode"]
         secondary = self.cfg["secondaryDepthMode"]
 
         use_shift = self.cfg["samplingMode"] == "shift"
-        # the shift-mode SD resolve needs the quarter grid aligned with the
-        # 4x4 dither classes
-        shift_sd = use_shift and int(self.cfg["stochMapDivisor"]) == 4
+        # the shift-mode SD resolve needs the dither-class grid to divide
+        # the SD grid (strided-slice fetch)
+        shift_sd = use_shift and int(self.cfg["stochMapDivisor"]) in (1, 2, 4)
 
         if use_shift:
             from .svao_shift import svao_phase1_shift
@@ -206,7 +210,8 @@ class SVAO(RenderPass):
             from .svao_shift import svao_phase2_shift
             delta = svao_phase2_shift(
                 cam, cfg, depth, depth2, normal_v, stencil, sd_map, primary,
-                sd_jitter=bool(self.cfg["stochMapJitter"]))
+                sd_jitter=bool(self.cfg["stochMapJitter"]),
+                divisor=int(self.cfg["stochMapDivisor"]))
         else:
             delta = svao_phase2(
                 ctx.scene, cam, cfg, depth, depth2, normal_v, stencil, sd_map,

@@ -306,10 +306,10 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
 
 
 def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
-                      primary, sd_jitter=True):
+                      primary, sd_jitter=True, divisor=4):
     """Stochastic-depth resolve, shift mode (calcAO2, Common.slang:523-663).
-    Requires stochMapDivisor == 4 (the quarter grid aligns with the dither
-    classes); the caller falls back to the gather path otherwise."""
+    stochMapDivisor must be in {1,2,4} (strided-slice SD fetch); the caller
+    falls back to the gather path otherwise."""
     from .svao import DEPTH_MODE_DUAL
     h, w = depth.shape
     b = _prep_planar(cam, cfg, depth, normal_v)
@@ -353,11 +353,12 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
             vis = jnp.where(s["in_screen"], s["vis"], 0.0)
         oz = jnp.where(s["in_screen"], s["oz"], A.FLT_MAX)
 
-        sd_p = S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g, qh, qw)
+        sd_p = S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g, qh, qw,
+                                    divisor)
         sd_vals = S.interleave(sd_p, hp, wp)       # [hp, wp, k]
         # sd sample uv (Common.slang:569): texel + jitter over lowRes
-        tex_x = jnp.floor((xg + s["off_x"]) / 4.0)
-        tex_y = jnp.floor((yg + s["off_y"]) / 4.0)
+        tex_x = jnp.floor((xg + s["off_x"]) / float(divisor))
+        tex_y = jnp.floor((yg + s["off_y"]) / float(divisor))
         suv_x = (tex_x + jit_x) / low_w
         suv_y = (tex_y + jit_y) / low_h
 
