@@ -4,8 +4,20 @@ Measures the AO portion of the frame (SVAO phase 1 + ray-traced stochastic
 depth map + phase 2 resolve — the passes the north star bounds at 10 ms,
 BASELINE.json) on the Sun Temple stand-in scene, steady state.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement hygiene (CLAUDE.md: the axon runtime memoizes identical
+executions, so repeated identical inputs measure cache hits):
+  * every iteration feeds a DIFFERENT input (pre-built depth variants cycled
+    round-robin; values differ, shapes/graph identical),
+  * every iteration forces a host readback (float(out.sum())),
+  * a trivial-kernel floor (same readback scheme on a same-size array) is
+    measured and subtracted,
+  * the whole measurement runs 3 times; the median is reported with the
+    spread in "runs_ms".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline = value / 10.0 (the 10 ms/frame north-star budget; < 1.0 beats it).
+Extra keys: "breakdown" (phase1/sd_trace/phase2 ms, measured separately with
+the same hygiene), "triangles", "runs_ms", "floor_ms".
 """
 import json
 import os
@@ -15,11 +27,38 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdm_jax_cache")
 
 import jax
+import jax.numpy as jnp
+
+N_VARIANTS = 8
+N_ITERS = 16
+N_RUNS = 3
+
+
+def _time_fn(fn, variants, iters=N_ITERS):
+    """Steady-state ms/call: cycle pre-built input variants, force a host
+    readback per call. Returns the median over N_RUNS runs plus all runs."""
+    # warmup (compile + first-touch) on every variant
+    for v in variants:
+        out = fn(*v)
+        jax.tree_util.tree_map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+            out)
+    runs = []
+    for _ in range(N_RUNS):
+        acc = 0.0
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(*variants[i % len(variants)])
+            first = jax.tree_util.tree_leaves(out)[0]
+            acc += float(first.sum())  # host readback: defeats memoization
+        runs.append((time.perf_counter() - t0) / iters * 1e3)
+    runs.sort()
+    return runs[len(runs) // 2], runs
 
 
 def main():
     from rtsdm_tpu.passes.gbuffer import raster_gbuffer
-    from rtsdm_tpu.passes.svao import SVAO
+    from rtsdm_tpu.passes.svao import SVAO, _normals_to_view
     from rtsdm_tpu.rendergraph.render_pass import RenderContext
     from rtsdm_tpu.scene.procedural import sun_temple
     from rtsdm_tpu.utils.math import (encode_normal_2x16, normalize,
@@ -27,11 +66,12 @@ def main():
 
     width, height = 1920, 1080
     scene = sun_temple(aspect=width / height)
+    cam = scene.camera
 
     g = raster_gbuffer(scene, width, height, max_per_tile=512)
-    lin = scene.camera.linearize_depth(g["depth"])
+    lin = cam.linearize_depth(g["depth"])
     packed = encode_normal_2x16(
-        normalize(transform_vector(scene.camera.view_mat, g["faceNormalW"])))
+        normalize(transform_vector(cam.view_mat, g["faceNormalW"])))
     jax.block_until_ready((g["depth"], lin, packed))
 
     pass_ = SVAO({"secondaryDepthMode": "StochasticDepth",
@@ -49,20 +89,84 @@ def main():
         return out["ao"]
 
     fn = jax.jit(ao_step)
-    args = (scene, g["depth"], lin, packed)
-    jax.block_until_ready(fn(*args))  # compile
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n * 1e3
+
+    # input variants: tiny multiplicative depth perturbations — same graph,
+    # different values every iteration (breaks the axon memoization cache)
+    variants = []
+    for i in range(N_VARIANTS):
+        s = 1.0 + 1e-5 * i
+        variants.append((scene, g["depth"] * s, lin * s, packed))
+    jax.block_until_ready(variants)
+
+    # trivial-kernel floor: dispatch + readback overhead on a same-size array
+    floor_fn = jax.jit(lambda a: a * 1.0000001 + 1.0)
+    floor_vars = [(lin * (1.0 + 1e-5 * i),) for i in range(N_VARIANTS)]
+    jax.block_until_ready(floor_vars)
+    floor_ms, _ = _time_fn(floor_fn, floor_vars)
+
+    total_ms_raw, runs = _time_fn(fn, variants)
+    total_ms = max(total_ms_raw - floor_ms, 0.0)
+
+    # ---- per-phase breakdown (same hygiene, phases jitted separately) ----
+    from rtsdm_tpu.passes.svao_shift import (svao_phase1_shift,
+                                             svao_phase2_shift)
+    cfg = pass_._vao_cfg(ctx, (width, height))
+    normal_v_fn = jax.jit(lambda nrm: _normals_to_view(ctx, nrm))
+    nv = jax.block_until_ready(normal_v_fn(packed))
+
+    p1_fn = jax.jit(lambda d, n: svao_phase1_shift(
+        cam, cfg, d, d, n, 0, "SingleDepth", "StochasticDepth"))
+    p1_vars = [(lin * (1.0 + 1e-5 * i), nv) for i in range(N_VARIANTS)]
+    jax.block_until_ready(p1_vars)
+    p1_ms_raw, _ = _time_fn(p1_fn, p1_vars)
+
+    p1_out = jax.block_until_ready(p1_fn(lin, nv))
+    sd_graph = pass_._build_sd_graph()
+    sd_graph.set_scene(scene)
+    sd_w, sd_h = pass_._stoch_map_size((width, height))
+    sd_ctx = RenderContext(width=sd_w, height=sd_h, scene=scene,
+                           dictionary={"guardBand": 0})
+
+    def sd_step(scene_, lin_, gdepth_, rmin, rmax):
+        sd_ctx.scene = scene_
+        marked, _, _ = sd_graph.execute(
+            sd_ctx, {},
+            external_inputs={"StochasticDepthMap.linearZ": lin_,
+                             "StochasticDepthMap.depthMap": gdepth_,
+                             "StochasticDepthMap.rayMin": rmin,
+                             "StochasticDepthMap.rayMax": rmax})
+        return marked["StochasticDepthMap.stochasticDepth"]
+
+    sd_fn = jax.jit(sd_step)
+    sd_vars = [(scene, lin * (1.0 + 1e-5 * i), g["depth"] * (1.0 + 1e-5 * i),
+                p1_out["ray_min"], p1_out["ray_max"])
+               for i in range(N_VARIANTS)]
+    jax.block_until_ready(sd_vars)
+    sd_ms_raw, _ = _time_fn(sd_fn, sd_vars)
+
+    sd_map = jax.block_until_ready(sd_fn(*sd_vars[0]))
+    p2_fn = jax.jit(lambda d, n, st, sd: svao_phase2_shift(
+        cam, cfg, d, d, n, st, sd, "SingleDepth", divisor=4))
+    p2_vars = [(lin * (1.0 + 1e-5 * i), nv, p1_out["stencil"], sd_map)
+               for i in range(N_VARIANTS)]
+    jax.block_until_ready(p2_vars)
+    p2_ms_raw, _ = _time_fn(p2_fn, p2_vars)
+
+    breakdown = {
+        "phase1_ms": round(max(p1_ms_raw - floor_ms, 0.0), 3),
+        "sd_trace_ms": round(max(sd_ms_raw - floor_ms, 0.0), 3),
+        "phase2_ms": round(max(p2_ms_raw - floor_ms, 0.0), 3),
+    }
 
     print(json.dumps({
         "metric": "svao_ray_sd_ao_ms_per_frame_1080p",
-        "value": round(ms, 3),
+        "value": round(total_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(ms / 10.0, 4),
+        "vs_baseline": round(total_ms / 10.0, 4),
+        "triangles": int(scene.num_triangles),
+        "floor_ms": round(floor_ms, 3),
+        "runs_ms": [round(r, 3) for r in runs],
+        "breakdown": breakdown,
     }))
     return 0
 
