@@ -56,10 +56,14 @@ def _setup_triangles(view_proj, positions, width, height, jitter_x, jitter_y,
     # sample offset (reference Camera.slang:72-74). `origin` shifts the
     # viewport so a sub-band of a larger frame can be rasterized (used by the
     # multi-chip screen-tile sharding); full_dim = (W,H) of the full frame.
+    # The origin is deliberately NOT folded into the coefficients: edge
+    # functions stay in GLOBAL pixel coordinates and the raster loop
+    # evaluates them at global coords, so a band raster is bit-identical to
+    # the same rows of a full-frame raster (multi-chip exactness).
     fw, fh = full_dim if full_dim is not None else (width, height)
     ox, oy = origin
-    px = (x + w) * (0.5 * fw) + (jitter_x * fw - ox) * w
-    py = (w - y) * (0.5 * fh) - (jitter_y * fh + oy) * w
+    px = (x + w) * (0.5 * fw) + (jitter_x * fw) * w
+    py = (w - y) * (0.5 * fh) - (jitter_y * fh) * w
     v = jnp.stack([px, py, w], axis=-1)  # [T,3(vert),3]
 
     c0 = jnp.cross(v[:, 1], v[:, 2])
@@ -90,62 +94,106 @@ def _setup_triangles(view_proj, positions, width, height, jitter_x, jitter_y,
     wc = c0 * w[:, 0:1] + c1 * w[:, 1:2] + c2 * w[:, 2:3]
     coef = jnp.stack([c0, c1, c2, zc, wc], axis=1)  # [T,5,3]
 
-    # conservative pixel bbox; triangles with any vertex behind the eye get
-    # the full screen (cheap, rare).
+    # conservative pixel bbox in VIEWPORT-LOCAL coords (global minus origin);
+    # triangles with any vertex behind the eye get the full viewport.
     safe_w = jnp.maximum(w, 1e-9)
-    sx = px / safe_w
-    sy = py / safe_w
+    sx = px / safe_w - ox
+    sy = py / safe_w - oy
     any_behind = jnp.any(w <= 1e-9, axis=-1)
-    big = jnp.float32(max(width, height) * 4.0)
     x0 = jnp.where(any_behind, 0.0, jnp.clip(jnp.floor(sx.min(-1)), 0, width))
     x1 = jnp.where(any_behind, width, jnp.clip(jnp.ceil(sx.max(-1)) + 1, 0, width))
     y0 = jnp.where(any_behind, 0.0, jnp.clip(jnp.floor(sy.min(-1)), 0, height))
     y1 = jnp.where(any_behind, height, jnp.clip(jnp.ceil(sy.max(-1)) + 1, 0, height))
     # fully offscreen -> empty bbox
-    del big
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
     valid = valid & (x1 > x0) & (y1 > y0)
     return coef, bbox, valid
+
+
+BIN_CHUNK = 32768  # triangles binned per scan step at reference scale
 
 
 def _bin_triangles(bbox, valid, width, height, max_per_tile):
     """Assign triangles to (8,128) screen tiles.
 
     Returns (lists [NTY,NTX,MAX] int32 tri indices, -1 padded; overflow count).
+
+    Small scenes bin in one [tiles x T] pass; at reference scale (Bistro-class
+    T approaches 1M and a dense mask would be tiles*T ~ GBs) the binning scans
+    BIN_CHUNK-triangle slices with a running per-tile count carry — same
+    result, bounded memory.
     """
     nty = -(-height // TILE_H)
     ntx = -(-width // TILE_W)
     t = bbox.shape[0]
+    n_tiles = nty * ntx
 
-    tx0 = jnp.clip((bbox[:, 0] // TILE_W).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip((bbox[:, 1] // TILE_H).astype(jnp.int32), 0, nty - 1)
-    tx1 = jnp.clip(((bbox[:, 2] - 1) // TILE_W).astype(jnp.int32), 0, ntx - 1)
-    ty1 = jnp.clip(((bbox[:, 3] - 1) // TILE_H).astype(jnp.int32), 0, nty - 1)
+    def tile_ranges(bb):
+        tx0 = jnp.clip((bb[:, 0] // TILE_W).astype(jnp.int32), 0, ntx - 1)
+        ty0 = jnp.clip((bb[:, 1] // TILE_H).astype(jnp.int32), 0, nty - 1)
+        tx1 = jnp.clip(((bb[:, 2] - 1) // TILE_W).astype(jnp.int32), 0, ntx - 1)
+        ty1 = jnp.clip(((bb[:, 3] - 1) // TILE_H).astype(jnp.int32), 0, nty - 1)
+        return tx0, ty0, tx1, ty1
 
     tiles_y = jnp.arange(nty, dtype=jnp.int32)
     tiles_x = jnp.arange(ntx, dtype=jnp.int32)
-    # mask [NTY, NTX, T]
-    my = (tiles_y[:, None] >= ty0[None, :]) & (tiles_y[:, None] <= ty1[None, :])
-    mx = (tiles_x[:, None] >= tx0[None, :]) & (tiles_x[:, None] <= tx1[None, :])
-    mask = my[:, None, :] & mx[None, :, :] & valid[None, None, :]
-    mask = mask.reshape(nty * ntx, t)
 
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    rank = jnp.where(mask & (rank < max_per_tile), rank, max_per_tile)  # drop
-    tri_idx = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], mask.shape)
-    lists = jnp.full((nty * ntx, max_per_tile), -1, jnp.int32)
-    lists = lists.at[jnp.arange(nty * ntx)[:, None], rank].set(tri_idx, mode="drop")
-    counts = mask.sum(axis=1)
+    def chunk_mask(bb, va):
+        tx0, ty0, tx1, ty1 = tile_ranges(bb)
+        my = (tiles_y[:, None] >= ty0[None, :]) & (tiles_y[:, None] <= ty1[None, :])
+        mx = (tiles_x[:, None] >= tx0[None, :]) & (tiles_x[:, None] <= tx1[None, :])
+        m = my[:, None, :] & mx[None, :, :] & va[None, None, :]
+        return m.reshape(n_tiles, -1)
+
+    if t <= BIN_CHUNK:
+        mask = chunk_mask(bbox, valid)
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        rank = jnp.where(mask & (rank < max_per_tile), rank, max_per_tile)
+        tri_idx = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :],
+                                   mask.shape)
+        lists = jnp.full((n_tiles, max_per_tile), -1, jnp.int32)
+        lists = lists.at[jnp.arange(n_tiles)[:, None], rank].set(
+            tri_idx, mode="drop")
+        counts = mask.sum(axis=1)
+        overflow = jnp.maximum(counts - max_per_tile, 0).sum()
+        return lists.reshape(nty, ntx, max_per_tile), overflow
+
+    # chunked scan: carry = (lists, per-tile running counts)
+    pad = (-t) % BIN_CHUNK
+    bbox_p = jnp.pad(bbox, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, pad))
+    n_chunks = (t + pad) // BIN_CHUNK
+    rows = jnp.arange(n_tiles)[:, None]
+
+    def body(carry, idx):
+        lists, base = carry
+        off = idx * BIN_CHUNK
+        bb = jax.lax.dynamic_slice_in_dim(bbox_p, off, BIN_CHUNK)
+        va = jax.lax.dynamic_slice_in_dim(valid_p, off, BIN_CHUNK)
+        m = chunk_mask(bb, va)                               # [NT, C]
+        rank = jnp.cumsum(m.astype(jnp.int32), axis=1) - 1 + base[:, None]
+        rank = jnp.where(m & (rank < max_per_tile), rank, max_per_tile)
+        tri_idx = off + jnp.broadcast_to(
+            jnp.arange(BIN_CHUNK, dtype=jnp.int32)[None, :], m.shape)
+        lists = lists.at[rows, rank].set(tri_idx, mode="drop")
+        return (lists, base + m.sum(axis=1).astype(jnp.int32)), None
+
+    init = (jnp.full((n_tiles, max_per_tile), -1, jnp.int32),
+            jnp.zeros((n_tiles,), jnp.int32))
+    (lists, counts), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     overflow = jnp.maximum(counts - max_per_tile, 0).sum()
     return lists.reshape(nty, ntx, max_per_tile), overflow
 
 
 def _raster_tiles(coef, lists, width, height, depth_floor=None,
-                  min_separation=0.0):
+                  min_separation=0.0, origin=(0.0, 0.0)):
     """Z-tested splat of per-tile triangle lists.
 
     coef: [T,5,3], lists: [NTY,NTX,MAX]. Returns tri_id [H,W] (int32, -1 bg),
     bary [H,W,2], depth [H,W] (NDC z in [0,1], 1 at background).
+
+    Edge functions are evaluated at GLOBAL pixel coords (local + origin) so
+    viewport bands reproduce full-frame results bit-exactly.
 
     depth_floor: optional [H,W] linear view depth; fragments with
     view_depth <= floor + min_separation are discarded — the depth-peeling
@@ -159,13 +207,14 @@ def _raster_tiles(coef, lists, width, height, depth_floor=None,
     tile_coef = coef[jnp.maximum(flat, 0)]
     tile_valid = flat >= 0
 
-    # pixel center coords per tile: [NT, TILE_H, TILE_W]
+    # pixel center coords per tile: [NT, TILE_H, TILE_W], global frame
+    ox, oy = origin
     ty = jnp.arange(nt, dtype=jnp.int32) // ntx
     tx = jnp.arange(nt, dtype=jnp.int32) % ntx
     yy = (ty[:, None, None] * TILE_H
-          + jnp.arange(TILE_H, dtype=jnp.int32)[None, :, None]).astype(jnp.float32) + 0.5
+          + jnp.arange(TILE_H, dtype=jnp.int32)[None, :, None]).astype(jnp.float32) + (oy + 0.5)
     xx = (tx[:, None, None] * TILE_W
-          + jnp.arange(TILE_W, dtype=jnp.int32)[None, None, :]).astype(jnp.float32) + 0.5
+          + jnp.arange(TILE_W, dtype=jnp.int32)[None, None, :]).astype(jnp.float32) + (ox + 0.5)
     yy = jnp.broadcast_to(yy, (nt, TILE_H, TILE_W))
     xx = jnp.broadcast_to(xx, (nt, TILE_H, TILE_W))
 
@@ -254,7 +303,8 @@ def rasterize(view_proj, positions, *, width: int, height: int,
         CULL_MODES[cull], origin=origin, full_dim=full_dim)
     lists, overflow = _bin_triangles(bbox, valid, width, height, max_per_tile)
     tri_id, bary, depth = _raster_tiles(coef, lists, width, height,
-                                        depth_floor, min_separation)
+                                        depth_floor, min_separation,
+                                        origin=origin)
     return {"tri_id": tri_id, "bary": bary, "depth": depth, "overflow": overflow}
 
 

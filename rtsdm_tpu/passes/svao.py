@@ -380,11 +380,15 @@ def _intervals_to_sd_grid(cfg, radius_px, pix_rmin, pix_rmax, sd_h, sd_w):
       1. aligned block-reduce pixels -> their own SD texel (a reshape, fast),
       2. dilate by the sampling radius, binned into power-of-two levels so
          each pixel's bounds spread at most 2x its true radius.
-    Wider intervals are correct (a superset of hits reaches the reservoir)."""
+    Wider intervals are correct (a superset of hits reaches the reservoir).
+
+    The core grid is derived from (sd_h, sd_w) minus the guard ring, so the
+    same code serves full frames and row bands (parallel/tiles.py passes a
+    band-local SD shape)."""
     h, w = pix_rmin.shape
-    core_w, core_h = cfg.low_resolution
-    div = max(1, round(w / core_w))
     g = cfg.sd_guard
+    core_w, core_h = sd_w - 2 * g, sd_h - 2 * g
+    div = max(1, round(w / core_w))
 
     # radius in SD texels, clamped to the guard band (by construction
     # sdGuard = stochMapGuardBand/divisor >= max offscreen reach)

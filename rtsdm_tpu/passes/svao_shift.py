@@ -41,17 +41,28 @@ def _uv_to_view(sx, sy, ux, uy, z):
     return vx, vy, -z
 
 
-def _prep_planar(cam, cfg, depth, normal_v):
-    """basic_init (Common.slang:271-324), planar."""
+def _prep_planar(cam, cfg, depth, normal_v, y_origin: int = 0):
+    """basic_init (Common.slang:271-324), planar.
+
+    y_origin: global screen row of the array's first row — nonzero when
+    `depth` is a row band of a larger frame (multi-chip tiles); must be a
+    multiple of 4 so the dither classes stay aligned with the full frame.
+    UVs are normalized by cfg.resolution (the FULL frame), not the array.
+    y_origin may be a traced value (shard_map band index) — alignment is
+    then the caller's contract (parallel/tiles.py asserts it statically)."""
+    if isinstance(y_origin, int):
+        assert y_origin % 4 == 0, "band origin must keep 4x4 dither alignment"
     h, w = depth.shape
+    w_full, h_full = cfg.resolution
     hp, wp = h + ((-h) % 4), w + ((-w) % 4)
     if (hp, wp) != (h, w):
         depth = jnp.pad(depth, ((0, hp - h), (0, wp - w)), mode="edge")
         normal_v = jnp.pad(normal_v, ((0, hp - h), (0, wp - w), (0, 0)),
                            mode="edge")
     sx, sy, kpx = _cam_consts(cam, cfg)
-    ux = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1) + 0.5) / w
-    uy = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + 0.5) / h
+    ux = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1) + 0.5) / w_full
+    uy = (jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+          + (y_origin + 0.5)) / h_full
     noise = A.dither_noise_for(hp, wp)
 
     radius_px = kpx * cfg.radius / jnp.maximum(depth, 1e-6)
@@ -93,7 +104,7 @@ def _prep_planar(cam, cfg, depth, normal_v):
     return dict(depth=depth, ux=ux, uy=uy, radius=radius, radius_px=radius_px,
                 valid=valid, px=px, py=py, pz=pz, pos_len=pos_len,
                 n=(nx, ny, nz), a=(ax, ay, az), no=(no_x, no_y, no_z),
-                sx=sx, sy=sy, hp=hp, wp=wp)
+                sx=sx, sy=sy, hp=hp, wp=wp, y_origin=y_origin)
 
 
 def _visibility_vao(cfg, oz, s_start, s_end, pdf, radius):
@@ -137,7 +148,7 @@ def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
         * b["radius"]
     same_pix = (off_y == 0.0) & (off_x == 0.0)
     xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + b["y_origin"]
     sxp = xg + off_x
     syp = yg + off_y
     in_screen = (sxp >= 0) & (sxp < w) & (syp >= 0) & (syp < h)
@@ -199,11 +210,17 @@ def _require_ray(cfg, b, s, oz):
 
 def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
                       secondary, trace_out_of_screen=False,
-                      use_ray_interval=True):
+                      use_ray_interval=True, y_origin: int = 0,
+                      sd_shape: tuple | None = None):
+    """y_origin/sd_shape: band-mode hooks (parallel/tiles.py) — depth is a
+    row band starting at global row y_origin, and the ray-interval SD grid
+    is produced at the band-local shape sd_shape=(sd_h, sd_w) whose row 0 is
+    global SD row y_origin//divisor - sd_guard."""
     from .svao import (DEPTH_MODE_DUAL, DEPTH_MODE_RAYTRACED,
                        DEPTH_MODE_STOCHASTIC, _intervals_to_sd_grid)
     h, w = depth.shape
-    b = _prep_planar(cam, cfg, depth, normal_v)
+    w_full, h_full = cfg.resolution
+    b = _prep_planar(cam, cfg, depth, normal_v, y_origin)
     hp, wp = b["hp"], b["wp"]
     levels, offs, radii = S.offset_tables(cfg, cfg.ss_max_radius)
     pad = int(-(-float(levels[-1]) // 4)) + 1
@@ -216,10 +233,12 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
         depth2_pp = S.pad_planes(S.deinterleave(d2), pad)
     nd = cfg.num_directions
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    # interior mask in GLOBAL screen coords: off-band replicate rows (band
+    # halo beyond the screen) must not contribute stencil/interval splats
+    yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) + y_origin
     xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    interior = ((xx >= guard) & (xx < w - guard)
-                & (yy >= guard) & (yy < h - guard))
+    interior = ((xx >= guard) & (xx < w_full - guard)
+                & (yy >= guard) & (yy < h_full - guard))
 
     bright = jnp.zeros((hp, wp))
     dark = jnp.zeros((hp, wp))
@@ -287,8 +306,11 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
     bright = jnp.where(bg, 1.0, bright)
     stencil = jnp.where(bg, 0, stencil)
 
-    sd_w = cfg.low_resolution[0] + 2 * cfg.sd_guard
-    sd_h = cfg.low_resolution[1] + 2 * cfg.sd_guard
+    if sd_shape is not None:
+        sd_h, sd_w = sd_shape
+    else:
+        sd_w = cfg.low_resolution[0] + 2 * cfg.sd_guard
+        sd_h = cfg.low_resolution[1] + 2 * cfg.sd_guard
     if secondary == DEPTH_MODE_STOCHASTIC:
         ray_min, ray_max = _intervals_to_sd_grid(
             cfg, crop(b["radius_px"]), crop(pix_rmin), crop(pix_rmax),
@@ -306,13 +328,21 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
 
 
 def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
-                      primary, sd_jitter=True, divisor=4):
+                      primary, sd_jitter=True, divisor=4, y_origin: int = 0):
     """Stochastic-depth resolve, shift mode (calcAO2, Common.slang:523-663).
     stochMapDivisor must be in {1,2,4} (strided-slice SD fetch); the caller
-    falls back to the gather path otherwise."""
+    falls back to the gather path otherwise.
+
+    Band mode (y_origin != 0): depth/stencil are a row band whose first row
+    is global row y_origin, and sd_map is the band-local SD map whose row
+    `sd_guard` is global SD row y_origin//divisor — with y_origin a multiple
+    of 4*divisor the strided-slice fetch alignment is unchanged (see
+    ops/ao_shift.py fetch_sd_direction)."""
     from .svao import DEPTH_MODE_DUAL
+    if isinstance(y_origin, int):
+        assert y_origin % (4 * divisor) == 0, "band origin breaks SD alignment"
     h, w = depth.shape
-    b = _prep_planar(cam, cfg, depth, normal_v)
+    b = _prep_planar(cam, cfg, depth, normal_v, y_origin)
     hp, wp = b["hp"], b["wp"]
     levels, offs, radii = S.offset_tables(cfg, cfg.ss_max_radius)
     pad = int(-(-float(levels[-1]) // 4)) + 1
@@ -335,7 +365,7 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
         if (hp, wp) != (h, w) else stencil
 
     xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + y_origin
     jit_q = S.tiled_jitter(qh, qw, sd_jitter)
     jit_x = jnp.repeat(jnp.repeat(jit_q[..., 0], 4, axis=0), 4, axis=1)
     jit_y = jnp.repeat(jnp.repeat(jit_q[..., 1], 4, axis=0), 4, axis=1)
