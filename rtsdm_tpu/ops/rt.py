@@ -222,10 +222,17 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
         view_z = t * cos_w[:, None]
         d_norm = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)
         if kbuffer:
-            key = d_norm
+            # depth-major packing with a hash tie-break in the LOW bits:
+            # equal quantized depths stay distinct, so coplanar/shared-edge
+            # duplicate hits survive the min-extraction like the reference's
+            # k-buffer insertion sort keeps them (Common.slangh:211-232)
+            d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
+            h15 = jnp.clip((hash2(jnp.stack([u, v], -1))
+                            * 32767.0).astype(jnp.int32), 0, 32766)
+            pk = jnp.where(ok, d16 * 32768 + h15, _SD_INVALID)
         else:
             key = hash2(jnp.stack([u, v], -1))
-        pk = _pack_key_depth(key, d_norm, ok)  # [R, C]
+            pk = _pack_key_depth(key, d_norm, ok)  # [R, C]
 
         # extract the chunk's k minima (ties collapse — harmless for hashes)
         cand = []
@@ -243,8 +250,12 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
 
     init = jnp.full((r, k), _SD_INVALID, jnp.int32)
     packed, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    d_norm = jnp.where(packed == _SD_INVALID, 1.0,
-                       (packed % 65536).astype(jnp.float32) / 65535.0)
+    if kbuffer:
+        d_norm = jnp.where(packed == _SD_INVALID, 1.0,
+                           (packed // 32768).astype(jnp.float32) / 65535.0)
+    else:
+        d_norm = jnp.where(packed == _SD_INVALID, 1.0,
+                           (packed % 65536).astype(jnp.float32) / 65535.0)
     if normalize:
         return d_norm
     return jnp.where(packed == _SD_INVALID, far,

@@ -54,7 +54,11 @@ class StochasticDepthMapRT(RenderPass):
                   Implementation="default", Alpha=0.375, RayInterval=True,
                   normalize=True, StoreNormals=False, Jitter=True,
                   GuardBand=0, MaxCount=4, linearize=False, depthFormat=None,
-                  chunk=128, usePallas=True)
+                  chunk=128, usePallas=True,
+                  # 'auto': stream triangle chunks HBM->VMEM by DMA (the BVH
+                  # tier, ops/rt_pallas.sd_trace_pallas_stream) once the scene
+                  # exceeds what comfortably stays VMEM-resident
+                  pallasStream="auto")
 
     def reflect(self, ctx):
         return (PassReflection().add_input("linearZ").add_input("rayMin")
@@ -103,15 +107,29 @@ class StochasticDepthMapRT(RenderPass):
                       and jax.devices()[0].platform != "cpu")
         if use_pallas:
             from ..ops import rt_pallas as rp
-            v0t, e1t, e2t, flags = rp.prep_triangles(
-                ctx.scene, bool(self.cfg["AlphaTest"]))
-            packed = rp.sd_trace_pallas(
-                v0t, e1t, e2t, flags,
-                jnp.broadcast_to(origin, (sd_h * sd_w, 3)),
-                dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
-                cos_w.reshape(-1), cam.near_z, cam.far_z,
-                num_samples=k,
-                cull_back=(self.cfg["CullMode"] == "Back"))
+            stream = self.cfg["pallasStream"]
+            if stream == "auto":
+                stream = ctx.scene.num_triangles > 65536
+            if stream:
+                tri_packed, aabb = rp.prep_triangles_packed(
+                    ctx.scene, bool(self.cfg["AlphaTest"]))
+                packed = rp.sd_trace_pallas_stream(
+                    tri_packed, aabb,
+                    jnp.broadcast_to(origin, (sd_h * sd_w, 3)),
+                    dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
+                    cos_w.reshape(-1), cam.near_z, cam.far_z,
+                    num_samples=k,
+                    cull_back=(self.cfg["CullMode"] == "Back"))
+            else:
+                v0t, e1t, e2t, flags = rp.prep_triangles(
+                    ctx.scene, bool(self.cfg["AlphaTest"]))
+                packed = rp.sd_trace_pallas(
+                    v0t, e1t, e2t, flags,
+                    jnp.broadcast_to(origin, (sd_h * sd_w, 3)),
+                    dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
+                    cos_w.reshape(-1), cam.near_z, cam.far_z,
+                    num_samples=k,
+                    cull_back=(self.cfg["CullMode"] == "Back"))
             depths = rp.decode_packed(packed, cam.near_z, cam.far_z,
                                       bool(self.cfg["normalize"]))
         else:
