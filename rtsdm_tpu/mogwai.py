@@ -66,6 +66,7 @@ class Renderer:
         self.active_graph: RenderGraph | None = None
         self.scene = None
         self.cameraPath = None          # scene/animation.py CameraPath
+        self.animationController = None  # scene/animation.py AnimationController
         self._scene_name = None
         self._state = None
         self._frame_fn = None
@@ -166,6 +167,12 @@ class Renderer:
         if self._frame_fn is None:
             self._build_frame_fn()
         scene = self._scene_comp
+        if self.animationController is not None:
+            # geometry animation: animated vertex soup + prev positions for
+            # object motion vectors (same pytree structure after the first
+            # frame -> no recompile beyond the one-time prev_positions add)
+            scene = self.animationController.animate(scene, self.clock.time)
+            self._scene_comp = scene
         if self.cameraPath is not None:
             # animate the camera (same pytree structure -> no recompile)
             base = self._scene_comp.camera

@@ -111,18 +111,25 @@ def closest_hit(scene, origins, dirs, tmin, tmax, chunk: int = DEFAULT_CHUNK,
     return jnp.where(tid >= 0, t, tmax), tid
 
 
-def _front_accept(scene, chunk_ids, front, alpha_test: bool):
+def _front_accept(scene, chunk_ids, front, bary_uv, alpha_test: bool):
     """aoAnyHit's face logic (SVAO/Common.slang:679-697): front-face OR
-    double-sided OR alpha-tested counts as front; alpha-masked materials with
-    constant opacity < 0.5 fail the alpha test and are ignored.
+    double-sided OR alpha-tested counts as front; alpha-masked hits test the
+    baked per-triangle 4x4 coverage bitmap at their barycentric cell (the
+    stand-in for textured hashed-alpha, Common.slangh:155-175).
 
-    chunk_ids: [K] triangle ids; front: [R,K] per-hit flag. Returns [R,K]."""
+    chunk_ids: [K] triangle ids; front/bary: [R,K] per-hit. Returns [R,K]."""
     mid = scene.material_id[chunk_ids]
     dbl = scene.mat_double_sided[mid]
     is_alpha = scene.mat_alpha_mode[mid] == 1
     ok = front | dbl[None, :] | is_alpha[None, :]
     if alpha_test:
-        ok = ok & ~(is_alpha & (scene.mat_opacity[mid] < 0.5))[None, :]
+        u, v = bary_uv
+        mask = jnp.where(is_alpha, scene.tri_alpha_mask[chunk_ids], 0xFFFF)
+        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+        bit = jax.lax.shift_right_logical(
+            jnp.broadcast_to(mask[None, :], cell.shape), cell) & 1
+        ok = ok & (bit > 0)
     return ok
 
 
@@ -142,10 +149,10 @@ def vao_interval_query(scene, origins, dirs, tmin, tmax, t_sphere_start,
     def body(carry, idx):
         last_halo, first_in = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
-        t, valid, front, _ = _mt_intersect(origins, dirs, sl(v0), sl(e1), sl(e2), cull)
+        t, valid, front, uv = _mt_intersect(origins, dirs, sl(v0), sl(e1), sl(e2), cull)
         in_pad = (idx * chunk + jnp.arange(chunk)) >= scene.positions.shape[0]
-        ok = valid & _front_accept(scene, sl(tri_ids_all), front, alpha_test) \
-            & ~in_pad[None, :]
+        ok = valid & _front_accept(scene, sl(tri_ids_all), front, uv,
+                                   alpha_test) & ~in_pad[None, :]
         ok = ok & (t > tmin[:, None]) & (t < tmax[:, None])
         halo = ok & (t <= t_sphere_start[:, None])
         inside = ok & (t > t_sphere_start[:, None])
@@ -217,7 +224,8 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
         t, valid, front, (u, v) = _mt_intersect(origins, dirs, sl(v0), sl(e1),
                                                 sl(e2), cull)
         in_pad = (idx * chunk + jnp.arange(chunk)) >= t_count
-        ok = valid & _front_accept(scene, sl(tri_ids_all), front, alpha_test) \
+        ok = valid & _front_accept(scene, sl(tri_ids_all), front, (u, v),
+                                   alpha_test) \
             & ~in_pad[None, :] & (t > tmin[:, None]) & (t < tmax[:, None])
         view_z = t * cos_w[:, None]
         d_norm = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)

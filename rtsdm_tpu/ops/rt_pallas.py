@@ -82,9 +82,10 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
         v0 = sl(v0_ref)
         e1 = sl(e1_ref)
         e2 = sl(e2_ref)
-        flag = flag_ref[:, pl.ds(ci * TC, TC)]               # [2, TC]
+        flag = flag_ref[:, pl.ds(ci * TC, TC)]               # [3, TC]
         acc_back = flag[0:1]
         reject = flag[1:2]
+        amask = flag[2:3].astype(jnp.int32)                  # [1, TC] bitmap
         v0x, v0y, v0z = v0[0:1], v0[1:2], v0[2:3]            # [1, TC]
         e1x, e1y, e1z = e1[0:1], e1[1:2], e1[2:3]
         e2x, e2y, e2z = e2[0:1], e2[1:2], e2[2:3]
@@ -111,6 +112,13 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
         t = (e2x * qx + e2y * qy + e2z * qz) * inv
         ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
             & (t > tmin) & (t < tmax)
+        # alpha-coverage test at the hit's barycentric cell (the baked-mask
+        # stand-in for hashed-alpha, see prep_triangles)
+        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+        abit = jax.lax.shift_right_logical(
+            jnp.broadcast_to(amask, cell.shape), cell) & 1
+        ok = ok & (abit > 0)
 
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
         # integer hash of the barycentrics (replaces the reference's
@@ -189,7 +197,7 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
                              memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((2, tp), lambda i: (0, 0),
+    flag_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -225,7 +233,7 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
 #     proportional to the OVERLAPPING chunk count, not T.
 # ---------------------------------------------------------------------------
 
-PACK_ROWS = 11  # v0(3) e1(3) e2(3) flags(2)
+PACK_ROWS = 12  # v0(3) e1(3) e2(3) flags(3: acc-back, reject, alpha mask)
 
 
 def _sd_stream_kernel(k, eps_det, cull_back,
@@ -249,9 +257,9 @@ def _sd_stream_kernel(k, eps_det, cull_back,
                                      sems.at[slot])
 
     def chunk_math(carry, tri):
-        flag = tri[9:11]                                     # [2, TC]
-        acc_back = flag[0:1]
-        reject = flag[1:2]
+        acc_back = tri[9:10]
+        reject = tri[10:11]
+        amask = tri[11:12].astype(jnp.int32)                 # [1, TC] bitmap
         v0x, v0y, v0z = tri[0:1], tri[1:2], tri[2:3]         # [1, TC]
         e1x, e1y, e1z = tri[3:4], tri[4:5], tri[5:6]
         e2x, e2y, e2z = tri[6:7], tri[7:8], tri[8:9]
@@ -277,6 +285,11 @@ def _sd_stream_kernel(k, eps_det, cull_back,
         t = (e2x * qx + e2y * qy + e2z * qz) * inv
         ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
             & (t > tmin) & (t < tmax)
+        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+        abit = jax.lax.shift_right_logical(
+            jnp.broadcast_to(amask, cell.shape), cell) & 1
+        ok = ok & (abit > 0)
 
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
         hb = (u * 8388593.0).astype(jnp.int32) ^ ((v * 4194301.0).astype(jnp.int32) << 7)
@@ -318,6 +331,37 @@ def _sd_stream_kernel(k, eps_det, cull_back,
     res = jax.lax.fori_loop(0, cnt, loop_body, init)
     for s in range(k):
         out_refs[s][...] = jnp.reshape(res[s], (1, 1, RB))
+
+
+TILE_RH, TILE_RW = 8, 32  # ray-block tile shape (TILE_RH*TILE_RW == RB)
+
+
+def tile_flatten(a):
+    """[H,W(,C)] -> [H*W(,C)] in 8x32-tile order: each kernel ray block then
+    covers a compact 8x32 texel tile instead of a 256x1 strip, tightening
+    the block's segment AABB ~10x on coherent depth fields. Pure reshapes/
+    transposes — no gathers. H,W must be multiples of (8,32) (pad first)."""
+    h, w = a.shape[:2]
+    assert h % TILE_RH == 0 and w % TILE_RW == 0
+    t = a.reshape((h // TILE_RH, TILE_RH, w // TILE_RW, TILE_RW) + a.shape[2:])
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((h * w,) + a.shape[2:])
+
+
+def tile_unflatten(a, h, w):
+    t = a.reshape((h // TILE_RH, w // TILE_RW, TILE_RH, TILE_RW) + a.shape[1:])
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((h, w) + a.shape[1:])
+
+
+def pad_tile(a, fill=0.0):
+    """Edge-pad [H,W(,C)] to (8,32) multiples; returns (padded, (H,W))."""
+    h, w = a.shape[:2]
+    ph, pw = (-h) % TILE_RH, (-w) % TILE_RW
+    if ph or pw:
+        a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2),
+                    constant_values=fill)
+    return a, (h, w)
 
 
 def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
@@ -446,20 +490,23 @@ def chunk_aabbs(v0t, e1t, e2t, flags):
 
 def prep_triangles(scene, alpha_test: bool = True):
     """Pack triangles for the kernel (jit-traceable): component-major padded
-    arrays [3, Tp] + flags [2, Tp] (accept-backface, reject). Alpha-fail
-    triangles and padding slots are rejected in-kernel."""
+    arrays [3, Tp] + flags [3, Tp] (accept-backface, reject, alpha coverage
+    mask as a float-held 16-bit bitmap). Padding slots are rejected
+    in-kernel; alpha-tested hits test their barycentric cell against the
+    baked mask (scene.tri_alpha_mask — the TPU stand-in for the reference's
+    hashed-alpha any-hit, StochasticDepthMapRT.rt.slang:31-37)."""
     pos = scene.positions
     t = pos.shape[0]
     tp = t + ((-t) % TC)
     mid = scene.material_id
     dbl = scene.mat_double_sided[mid]
     is_alpha = scene.mat_alpha_mode[mid] == 1
-    opac = scene.mat_opacity[mid]
-    if alpha_test:
-        reject = (is_alpha & (opac < 0.5)).astype(jnp.float32)
-    else:
-        reject = jnp.zeros((t,), jnp.float32)
     acc = (dbl | is_alpha).astype(jnp.float32)
+    if alpha_test:
+        mask = jnp.where(is_alpha, scene.tri_alpha_mask, 0xFFFF)
+    else:
+        mask = jnp.full((t,), 0xFFFF, jnp.int32)
+    reject = jnp.zeros((t,), jnp.float32)
 
     def padT(a, value=0.0):
         return jnp.pad(a, ((0, tp - t),) + ((0, 0),) * (a.ndim - 1),
@@ -468,7 +515,8 @@ def prep_triangles(scene, alpha_test: bool = True):
     v0 = padT(pos[:, 0]).T
     e1 = padT(pos[:, 1] - pos[:, 0]).T
     e2 = padT(pos[:, 2] - pos[:, 0]).T
-    flags = jnp.stack([padT(acc), padT(reject, value=1.0)], axis=0)
+    flags = jnp.stack([padT(acc), padT(reject, value=1.0),
+                       padT(mask.astype(jnp.float32))], axis=0)
     return v0, e1, e2, flags
 
 

@@ -24,3 +24,4 @@ from . import debug            # noqa: F401
 from . import path_tracer      # noqa: F401
 from . import postfx           # noqa: F401
 from . import whitted          # noqa: F401
+from . import svgf             # noqa: F401

@@ -36,8 +36,15 @@ def raster_gbuffer(scene, width, height, cull="back", max_per_tile=256,
 
     # motion vectors: texC + mvec = previous-frame uv (consumed by TAA,
     # reference TAA.ps.slang:121-130); computed with the no-jitter matrices.
+    # Animated geometry projects LAST frame's vertex positions (object
+    # motion, reference GBuffer motion-vector path with prevPosW).
     h, w = tid.shape
-    prev_clip = transform_point(cam.prev_view_proj_no_jitter, pos_w)
+    if scene.prev_positions is not None:
+        prev_pos_w = interpolate(tid, bary, scene.prev_positions)
+        prev_pos_w = jnp.where(hit[..., None], prev_pos_w, pos_w)
+    else:
+        prev_pos_w = pos_w
+    prev_clip = transform_point(cam.prev_view_proj_no_jitter, prev_pos_w)
     prev_w = jnp.where(prev_clip[..., 3] == 0.0, 1.0, prev_clip[..., 3])
     prev_uv = jnp.stack([prev_clip[..., 0] / prev_w * 0.5 + 0.5,
                          0.5 - prev_clip[..., 1] / prev_w * 0.5], axis=-1)

@@ -9,11 +9,21 @@ References (Source/RenderPasses/...):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
 from ..utils import compare as C
+
+
+def _concrete(*xs) -> bool:
+    """True when no argument is a JAX tracer — host-side capture (python
+    list appends) must only happen on concrete values; under whole-graph
+    jit the same measurements flow through the pass STATE instead (the
+    'execute must be trace-pure' contract, rendergraph/render_pass.py)."""
+    return not any(isinstance(x, jax.core.Tracer)
+                   for x in jax.tree_util.tree_leaves(xs))
 
 
 @register_pass("ErrorMeasurePass")
@@ -45,8 +55,12 @@ class ErrorMeasurePass(RenderPass):
         diff = (src[..., :3] if src.ndim == 3 else src) - \
                (ref[..., :3] if ref.ndim == 3 else ref)
         err = diff * diff
-        self.measurements.append({"mse": float(jnp.mean(err))})
-        return {"Output": err}, None
+        mse = jnp.mean(err)
+        if _concrete(mse):
+            self.measurements.append({"mse": float(mse)})
+        # under jit the measurement is the pass state: callers read it from
+        # the state returned by graph.execute / frame_fn
+        return {"Output": err}, {"mse": mse}
 
 
 @register_pass("FLIPPass")
@@ -78,8 +92,12 @@ class PathBenchmark(RenderPass):
         return PassReflection()
 
     def execute(self, ctx, inputs, state=None):
+        # profiler rows are host data; under whole-graph jit there is one
+        # trace (no per-frame timings) — skip rather than record tracers
         if ctx.profiler is not None:
-            self.rows.append(dict(ctx.profiler.flat_averages()))
+            row = dict(ctx.profiler.flat_averages())
+            if _concrete(row):
+                self.rows.append(row)
         return {}, None
 
     def csv(self) -> str:
@@ -108,8 +126,10 @@ class PathRecorder(RenderPass):
 
     def execute(self, ctx, inputs, state=None):
         cam = ctx.scene.camera
-        self.keyframes.append((np.asarray(cam.pos_w), np.asarray(cam.target),
-                               np.asarray(cam.up)))
+        if _concrete(cam.pos_w):
+            self.keyframes.append((np.asarray(cam.pos_w),
+                                   np.asarray(cam.target),
+                                   np.asarray(cam.up)))
         return {}, None
 
     def save(self, path):
@@ -138,6 +158,6 @@ class VideoRecorder(RenderPass):
         return PassReflection().add_input("in", optional=True)
 
     def execute(self, ctx, inputs, state=None):
-        if self.recording and "in" in inputs:
+        if self.recording and "in" in inputs and _concrete(inputs["in"]):
             self.frames.append(np.asarray(inputs["in"]))
         return {}, None

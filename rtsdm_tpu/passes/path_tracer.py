@@ -120,3 +120,317 @@ class MinimalPathTracer(RenderPass):
             alive = hit
 
         return {"color": radiance.reshape(h, w, 3)}, None
+
+
+# ---------------------------------------------------------------------------
+# Full PathTracer (reference Source/RenderPasses/PathTracer/, 4.8k LoC):
+# NEE over analytic lights + area-sampled emissive triangles, diffuse+GGX
+# BSDF importance sampling, MIS (balance heuristic) between the two
+# estimators, Russian roulette. Wavefront formulation: each bounce is one
+# full-screen batch through the shared chunked intersection kernels.
+# ---------------------------------------------------------------------------
+
+_PI = 3.14159265
+
+
+def _ggx_d(n_dot_h, alpha):
+    a2 = alpha * alpha
+    d = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(_PI * d * d, 1e-8)
+
+
+def _smith_g(n_dot_v, n_dot_l, alpha):
+    def g1(c):
+        a2 = alpha * alpha
+        return 2.0 * c / jnp.maximum(
+            c + jnp.sqrt(a2 + (1.0 - a2) * c * c), 1e-8)
+    return g1(jnp.maximum(n_dot_v, 1e-4)) * g1(jnp.maximum(n_dot_l, 1e-4))
+
+
+def _fresnel(v_dot_h, f0=0.04):
+    return f0 + (1.0 - f0) * (1.0 - saturate(v_dot_h)) ** 5
+
+
+def _eval_bsdf(albedo, rough, n, wo, wi):
+    """(f * cos, pdf_bsdf) for the diffuse+GGX model under the sampling
+    strategy of _sample_bsdf (lobe pick by p_spec, cosine diffuse, NDF GGX)."""
+    n_dot_l = jnp.sum(n * wi, -1)
+    n_dot_v = jnp.maximum(jnp.sum(n * wo, -1), 1e-4)
+    h = normalize(wo + wi)
+    n_dot_h = saturate(jnp.sum(n * h, -1))
+    v_dot_h = saturate(jnp.sum(wo * h, -1))
+    alpha = jnp.maximum(rough * rough, 1e-3)
+
+    valid = n_dot_l > 1e-5
+    f = _fresnel(v_dot_h)
+    d = _ggx_d(n_dot_h, alpha)
+    g = _smith_g(n_dot_v, n_dot_l, alpha)
+    spec = (f * d * g / jnp.maximum(4.0 * n_dot_v * n_dot_l, 1e-6))[..., None]
+    diff = albedo / _PI
+    f_cos = jnp.where(valid[..., None], (diff + spec) * n_dot_l[..., None], 0.0)
+
+    p_spec = _p_spec(albedo)
+    pdf_diff = n_dot_l / _PI
+    pdf_spec = d * n_dot_h / jnp.maximum(4.0 * v_dot_h, 1e-6)
+    pdf = jnp.where(valid,
+                    (1.0 - p_spec) * pdf_diff + p_spec * pdf_spec, 0.0)
+    return f_cos, pdf
+
+
+def _p_spec(albedo):
+    """Specular lobe selection probability from relative lobe albedos."""
+    lum = (albedo[..., 0] + albedo[..., 1] + albedo[..., 2]) / 3.0
+    return jnp.clip(0.04 / jnp.maximum(0.04 + lum, 1e-4), 0.05, 0.9)
+
+
+def _sample_bsdf(albedo, rough, n, wo, u1, u2, u3):
+    """Sample wi; returns (wi, picked_spec)."""
+    alpha = jnp.maximum(rough * rough, 1e-3)
+    helper = jnp.where(jnp.abs(n[..., 0:1]) > 0.9,
+                       jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    t = normalize(jnp.cross(n, helper))
+    b = jnp.cross(n, t)
+
+    # diffuse: cosine hemisphere
+    r = jnp.sqrt(u1)
+    phi = 2.0 * _PI * u2
+    ld = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                    jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))], -1)
+    wi_diff = normalize(t * ld[..., 0:1] + b * ld[..., 1:2] + n * ld[..., 2:3])
+
+    # specular: sample the GGX NDF half-vector, reflect
+    ct = jnp.sqrt((1.0 - u1) / jnp.maximum(1.0 + (alpha * alpha - 1.0) * u1,
+                                           1e-8))
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    hl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+    hw = normalize(t * hl[..., 0:1] + b * hl[..., 1:2] + n * ct[..., None])
+    wi_spec = normalize(2.0 * jnp.sum(wo * hw, -1, keepdims=True) * hw - wo)
+
+    pick_spec = u3 < _p_spec(albedo)
+    wi = jnp.where(pick_spec[..., None], wi_spec, wi_diff)
+    return wi, pick_spec
+
+
+@register_pass("PathTracer")
+class PathTracer(RenderPass):
+    """Reference parity at this material model's scale: samplesPerPixel,
+    maxSurfaceBounces, NEE + MIS over analytic lights and area-sampled
+    emissive triangles (the LightBVH's role at our scene scale —
+    Rendering/Lights/EmissivePowerSampler), Russian roulette
+    (PathTracer.cpp kRussianRoulette)."""
+
+    SCHEMA = dict(samplesPerPixel=1, maxSurfaceBounces=3, useNEE=True,
+                  useMIS=True, useRussianRoulette=True, rrDepth=2,
+                  chunk=256, useImportanceSampling=True)
+
+    def __init__(self, props=None):
+        super().__init__(props)
+        self._emissive = None
+
+    def set_scene(self, scene):
+        super().set_scene(scene)
+        import numpy as np
+        emis = np.asarray(scene.mat_emissive)[np.asarray(scene.material_id)]
+        ids = np.where(emis.sum(-1) > 0.0)[0]
+        if len(ids) == 0:
+            self._emissive = None
+            return
+        pos = np.asarray(scene.positions)[ids]
+        area = 0.5 * np.linalg.norm(
+            np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]), axis=-1)
+        cdf = np.cumsum(area)
+        total = float(cdf[-1])
+        self._emissive = dict(ids=jnp.asarray(ids.astype(np.int32)),
+                              cdf=jnp.asarray((cdf / total).astype(np.float32)),
+                              area=jnp.asarray(area.astype(np.float32)),
+                              total_area=total)
+
+    def reflect(self, ctx):
+        return (PassReflection().add_input("vbuffer", optional=True)
+                .add_input("viewW", optional=True)
+                .add_input("mvec", optional=True)
+                .add_output("color"))
+
+    # --- emissive light sampling --------------------------------------------
+    def _sample_emissive(self, scene, p, u1, u2, u3):
+        """Uniform-by-area emissive triangle sample: returns (dir, dist,
+        Le, pdf_solid_angle, valid)."""
+        em = self._emissive
+        idx = jnp.searchsorted(em["cdf"], u1)
+        idx = jnp.clip(idx, 0, em["ids"].shape[0] - 1)
+        tid = em["ids"][idx]
+        tri = scene.positions[tid]
+        su = jnp.sqrt(u2)
+        b1 = 1.0 - su
+        b2 = u3 * su
+        q = (tri[..., 0, :] * (1.0 - b1 - b2)[..., None]
+             + tri[..., 1, :] * b1[..., None] + tri[..., 2, :] * b2[..., None])
+        e1 = tri[..., 1, :] - tri[..., 0, :]
+        e2 = tri[..., 2, :] - tri[..., 0, :]
+        ln = jnp.cross(e1, e2)
+        l_area = 0.5 * jnp.linalg.norm(ln, axis=-1)
+        ln = ln / jnp.maximum(2.0 * l_area[..., None], 1e-8)
+        to_q = q - p
+        dist = jnp.linalg.norm(to_q, axis=-1)
+        wi = to_q / jnp.maximum(dist[..., None], 1e-8)
+        cos_l = jnp.abs(jnp.sum(ln * wi, -1))
+        le = scene.mat_emissive[scene.material_id[tid]]
+        # area pdf = 1/total_area; to solid angle
+        pdf_w = (dist * dist) / jnp.maximum(
+            cos_l * em["total_area"], 1e-8)
+        valid = (cos_l > 1e-4) & (dist > 1e-4)
+        return wi, dist, le, pdf_w, valid, tid
+
+    def _emissive_pdf_w(self, scene, p, wi, t, tid):
+        """pdf of having NEE-sampled the emissive hit (for MIS on BSDF hits)."""
+        em = self._emissive
+        tri = scene.positions[jnp.maximum(tid, 0)]
+        e1 = tri[..., 1, :] - tri[..., 0, :]
+        e2 = tri[..., 2, :] - tri[..., 0, :]
+        ln = jnp.cross(e1, e2)
+        a2 = jnp.linalg.norm(ln, axis=-1)
+        cos_l = jnp.abs(jnp.sum(ln * wi, -1)) / jnp.maximum(a2, 1e-8)
+        return (t * t) / jnp.maximum(cos_l * em["total_area"], 1e-8)
+
+    # ------------------------------------------------------------------------
+    def execute(self, ctx, inputs, state=None):
+        scene = ctx.scene
+        cam = scene.camera
+        h, w = ctx.height, ctx.width
+        chunk = int(self.cfg["chunk"])
+        spp = int(self.cfg["samplesPerPixel"])
+        fi = jnp.uint32(ctx.frame_index)
+        face_n = scene.face_normals()
+        r = h * w
+
+        xs = jnp.arange(w, dtype=jnp.float32)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1)
+        origin, prim_d = cam.compute_ray_pinhole(px, (w, h))
+        prim_o = jnp.broadcast_to(origin, (r, 3))
+        prim_d = prim_d.reshape(-1, 3)
+
+        total = jnp.zeros((r, 3))
+        for s in range(spp):
+            total = total + self._trace_sample(
+                scene, cam, prim_o, prim_d, face_n, r, chunk,
+                fi * jnp.uint32(spp) + jnp.uint32(s),
+                inputs.get("vbuffer"))
+        return {"color": (total / spp).reshape(h, w, 3)}, None
+
+    def _trace_sample(self, scene, cam, o, d, face_n, r, chunk, seed_base,
+                      vbuffer):
+        pid = (jnp.arange(r, dtype=jnp.uint32) * 9781
+               + seed_base * jnp.uint32(6271))
+
+        radiance = jnp.zeros((r, 3))
+        throughput = jnp.ones((r, 3))
+        alive = jnp.ones((r,), bool)
+        bsdf_pdf_prev = jnp.full((r,), -1.0)  # <0: camera ray (no MIS)
+        max_bounces = int(self.cfg["maxSurfaceBounces"])
+        use_nee = bool(self.cfg["useNEE"]) and scene.num_lights > 0
+        use_mis = bool(self.cfg["useMIS"]) and self._emissive is not None
+        rr_depth = int(self.cfg["rrDepth"])
+
+        for bounce in range(max_bounces + 1):
+            if bounce == 0 and vbuffer is not None:
+                tid = vbuffer[..., 0].reshape(-1).astype(jnp.int32)
+                # primary hit distance from the vbuffer barycentrics
+                tri = scene.positions[jnp.maximum(tid, 0)]
+                b1 = vbuffer[..., 1].reshape(-1)[..., None]
+                b2 = vbuffer[..., 2].reshape(-1)[..., None]
+                q = (tri[:, 0] * (1.0 - b1 - b2) + tri[:, 1] * b1
+                     + tri[:, 2] * b2)
+                t = jnp.linalg.norm(q - o, axis=-1)
+            else:
+                t, tid = rt.closest_hit(scene, o, d, jnp.full((r,), 1e-3),
+                                        jnp.broadcast_to(cam.far_z, (r,)),
+                                        chunk=chunk)
+            hit = (tid >= 0) & alive
+            radiance = radiance + jnp.where(
+                (~hit & alive)[..., None], throughput * scene.env_radiance, 0.0)
+
+            mid = jnp.maximum(scene.material_id[jnp.maximum(tid, 0)], 0)
+            albedo = scene.mat_base_color[mid]
+            rough = scene.mat_roughness[mid]
+            emissive = scene.mat_emissive[mid]
+
+            # emissive hit: MIS-weight against the NEE estimator that could
+            # also have sampled this light (PathTracer MIS, balance heuristic)
+            is_emissive = emissive.sum(-1) > 0.0
+            if use_mis:
+                pdf_nee = self._emissive_pdf_w(scene, o, d, t, tid)
+                w_mis = jnp.where(bsdf_pdf_prev < 0.0, 1.0,
+                                  bsdf_pdf_prev / jnp.maximum(
+                                      bsdf_pdf_prev + pdf_nee, 1e-8))
+                w_mis = jnp.where(is_emissive, w_mis, 1.0)
+            else:
+                w_mis = jnp.ones((r,))
+            radiance = radiance + jnp.where(
+                hit[..., None], throughput * emissive * w_mis[..., None], 0.0)
+
+            p = o + d * t[..., None]
+            n = face_n[jnp.maximum(tid, 0)]
+            n = jnp.where((jnp.sum(n * d, -1) > 0)[..., None], -n, n)
+            wo = -d
+
+            if use_nee:
+                # analytic delta lights (no MIS possible)
+                for li in range(int(scene.num_lights)):
+                    is_dir = scene.light_type[li] == LIGHT_DIRECTIONAL
+                    to_l = jnp.where(is_dir, -scene.light_dir[li],
+                                     normalize(scene.light_pos[li] - p))
+                    dist = jnp.linalg.norm(scene.light_pos[li] - p, axis=-1)
+                    tmax = jnp.where(is_dir, cam.far_z, dist - 1e-3)
+                    occ = rt.any_hit(scene, p + n * 1e-3, to_l,
+                                     jnp.full((r,), 1e-3), tmax, chunk=chunk)
+                    li_rad = jnp.where(is_dir, scene.light_intensity[li],
+                                       scene.light_intensity[li]
+                                       / jnp.maximum(dist * dist, 1e-4)[..., None])
+                    f_cos, _ = _eval_bsdf(albedo, rough, n, wo, to_l)
+                    contrib = throughput * f_cos * (~occ)[..., None] * li_rad
+                    radiance = radiance + jnp.where(hit[..., None], contrib, 0.0)
+
+                # emissive triangle NEE with MIS
+                if self._emissive is not None:
+                    u = [_rand01(pid * 7 + jnp.uint32(bounce * 5 + k))
+                         for k in range(3)]
+                    wi_l, dist_l, le, pdf_l, lvalid, ltid = \
+                        self._sample_emissive(scene, p, u[0], u[1], u[2])
+                    occ = rt.any_hit(scene, p + n * 1e-3, wi_l,
+                                     jnp.full((r,), 1e-3), dist_l - 1e-3,
+                                     chunk=chunk)
+                    f_cos, pdf_b = _eval_bsdf(albedo, rough, n, wo, wi_l)
+                    if use_mis:
+                        w_nee = pdf_l / jnp.maximum(pdf_l + pdf_b, 1e-8)
+                    else:
+                        w_nee = jnp.ones((r,))
+                    contrib = throughput * f_cos * le \
+                        * (w_nee / jnp.maximum(pdf_l, 1e-8))[..., None]
+                    ok = hit & lvalid & ~occ
+                    radiance = radiance + jnp.where(ok[..., None], contrib, 0.0)
+
+            if bounce == max_bounces:
+                break
+
+            u1 = _rand01(pid * 11 + jnp.uint32(bounce * 4 + 1))
+            u2 = _rand01(pid * 11 + jnp.uint32(bounce * 4 + 2))
+            u3 = _rand01(pid * 11 + jnp.uint32(bounce * 4 + 3))
+            wi, _ = _sample_bsdf(albedo, rough, n, wo, u1, u2, u3)
+            f_cos, pdf = _eval_bsdf(albedo, rough, n, wo, wi)
+            weight = f_cos / jnp.maximum(pdf, 1e-8)[..., None]
+            throughput = throughput * jnp.where(hit[..., None], weight, 0.0)
+            bsdf_pdf_prev = pdf
+
+            if self.cfg["useRussianRoulette"] and bounce >= rr_depth:
+                tp_max = jnp.max(throughput, -1)
+                p_survive = jnp.clip(tp_max, 0.05, 1.0)
+                u_rr = _rand01(pid * 13 + jnp.uint32(bounce + 17))
+                alive = hit & (u_rr < p_survive)
+                throughput = throughput / p_survive[..., None]
+            else:
+                alive = hit
+            o = p + n * 1e-3
+            d = wi
+
+        return radiance

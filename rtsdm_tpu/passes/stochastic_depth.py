@@ -113,13 +113,22 @@ class StochasticDepthMapRT(RenderPass):
             if stream:
                 tri_packed, aabb = rp.prep_triangles_packed(
                     ctx.scene, bool(self.cfg["AlphaTest"]))
+                # 8x32-tile ray order: each kernel block covers a compact
+                # texel tile -> tight segment AABBs -> few chunk visits
+                def tf(x2d, fill=0.0):
+                    p, _ = rp.pad_tile(x2d, fill)
+                    return rp.tile_flatten(p)
+
+                ph = sd_h + (-sd_h) % rp.TILE_RH
+                pw = sd_w + (-sd_w) % rp.TILE_RW
                 packed = rp.sd_trace_pallas_stream(
                     tri_packed, aabb,
-                    jnp.broadcast_to(origin, (sd_h * sd_w, 3)),
-                    dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
-                    cos_w.reshape(-1), cam.near_z, cam.far_z,
-                    num_samples=k,
+                    jnp.broadcast_to(origin, (ph * pw, 3)),
+                    tf(dirs), tf(tmin), tf(tmax, fill=-1.0), tf(cos_w),
+                    cam.near_z, cam.far_z, num_samples=k,
                     cull_back=(self.cfg["CullMode"] == "Back"))
+                packed = rp.tile_unflatten(packed, ph, pw)[
+                    :sd_h, :sd_w].reshape(-1, k)
             else:
                 v0t, e1t, e2t, flags = rp.prep_triangles(
                     ctx.scene, bool(self.cfg["AlphaTest"]))

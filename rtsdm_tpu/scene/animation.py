@@ -64,3 +64,140 @@ class CameraPath:
                         center[2] + radius * np.sin(ang)], -1)
         tgt = np.tile(center, (n, 1))
         return CameraPath(pos, tgt, duration=duration)
+
+
+# ---------------------------------------------------------------------------
+# Geometry animation (reference Scene/Animation/AnimationController.h:43,
+# Animation.cpp keyframe interpolation): keyframed per-NODE rigid transforms
+# applied to triangle ranges. TPU design: the controller samples node
+# matrices on the host per frame (tiny), and a jit-traced transform rebuilds
+# the animated vertex soup; the chunk-AABB "BLAS refit" happens implicitly
+# because prep_triangles/chunk_aabbs derive from the animated positions
+# inside the same trace.
+# ---------------------------------------------------------------------------
+
+
+def _quat_slerp(q0, q1, t):
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = q0 + t * (q1 - q0)
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1.0, 1.0))
+    return (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+
+
+def _quat_to_mat(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+class NodeTrack:
+    """Keyframed TRS track for one node (Animation::Keyframe: time,
+    translation, scaling, rotation quaternion). Linear T/S, slerp R; loops."""
+
+    def __init__(self, keyframes):
+        """keyframes: list of dicts {time, translation(3), rotation(quat
+        xyzw, optional), scaling(3, optional)} sorted by time."""
+        self.times = np.asarray([k["time"] for k in keyframes], np.float64)
+        self.trans = np.asarray([k.get("translation", (0, 0, 0))
+                                 for k in keyframes], np.float32)
+        self.rots = np.asarray([k.get("rotation", (0, 0, 0, 1))
+                                for k in keyframes], np.float32)
+        self.scales = np.asarray([k.get("scaling", (1, 1, 1))
+                                  for k in keyframes], np.float32)
+        self.duration = float(self.times[-1]) if len(keyframes) > 1 else 1.0
+
+    def sample(self, time: float) -> np.ndarray:
+        """4x4 node-to-world matrix at `time` (looping)."""
+        if len(self.times) == 1:
+            i0 = i1 = 0
+            f = 0.0
+        else:
+            t = time % self.duration
+            i1 = int(np.searchsorted(self.times, t, side="right"))
+            i1 = min(max(i1, 1), len(self.times) - 1)
+            i0 = i1 - 1
+            span = float(self.times[i1] - self.times[i0]) or 1.0
+            f = float((t - self.times[i0]) / span)
+        tr = (1 - f) * self.trans[i0] + f * self.trans[i1]
+        sc = (1 - f) * self.scales[i0] + f * self.scales[i1]
+        r = _quat_to_mat(_quat_slerp(self.rots[i0], self.rots[i1], f))
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = r * sc[None, :]
+        m[:3, 3] = tr
+        return m
+
+    @staticmethod
+    def spin_y(center, period: float, n: int = 8) -> "NodeTrack":
+        """Continuous yaw rotation about `center` (test/demo helper)."""
+        kf = []
+        for i in range(n + 1):
+            ang = 2 * np.pi * i / n
+            q = (0.0, np.sin(ang / 2), 0.0, np.cos(ang / 2))
+            c = np.asarray(center, np.float32)
+            r = _quat_to_mat(np.asarray(q, np.float32))
+            kf.append(dict(time=period * i / n,
+                           translation=tuple(c - r @ c), rotation=q))
+        return NodeTrack(kf)
+
+    @staticmethod
+    def oscillate(axis, amplitude: float, period: float,
+                  n: int = 16) -> "NodeTrack":
+        kf = []
+        a = np.asarray(axis, np.float32)
+        for i in range(n + 1):
+            ph = 2 * np.pi * i / n
+            kf.append(dict(time=period * i / n,
+                           translation=tuple(a * amplitude * np.sin(ph))))
+        return NodeTrack(kf)
+
+
+class AnimationController:
+    """Drives scene.node_id'd triangle groups along NodeTracks
+    (AnimationController::animate). `animate(scene, time)` returns a scene
+    whose positions/normals are the animated soup and whose prev_positions
+    hold the (time - dt) soup for object motion vectors."""
+
+    def __init__(self, tracks: dict[int, NodeTrack], dt: float = 1 / 60):
+        self.tracks = dict(tracks)
+        self.dt = float(dt)
+        self.n_nodes = max(self.tracks) + 1 if self.tracks else 1
+
+    def node_matrices(self, time: float) -> np.ndarray:
+        mats = np.tile(np.eye(4, dtype=np.float32), (self.n_nodes, 1, 1))
+        for nid, tr in self.tracks.items():
+            mats[nid] = tr.sample(time)
+        return mats
+
+    def animate(self, scene, time: float):
+        """Pure w.r.t. the matrices: jit-compatible when called with traced
+        scenes (matrices enter as fresh device constants per frame)."""
+        import jax.numpy as jnp
+        from ..utils.structs import replace
+        base = scene.positions if scene.prev_positions is None \
+            else scene.positions
+        mats = jnp.asarray(self.node_matrices(time))
+        mats_prev = jnp.asarray(self.node_matrices(max(time - self.dt, 0.0)))
+
+        def apply(m):
+            per_tri = m[jnp.clip(scene.node_id, 0, self.n_nodes - 1)]
+            r = per_tri[:, None, :3, :3]                     # [T,1,3,3]
+            t = per_tri[:, None, :3, 3]
+            return jnp.einsum("tvij,tvj->tvi",
+                              jnp.broadcast_to(r, (base.shape[0], 3, 3, 3)),
+                              base) + t
+
+        new_pos = apply(mats)
+        prev_pos = apply(mats_prev)
+        # rotate shading normals (rigid tracks: R is orthonormal up to scale)
+        per_tri_r = mats[jnp.clip(scene.node_id, 0, self.n_nodes - 1)][:, :3, :3]
+        n = jnp.einsum("tij,tvj->tvi", per_tri_r, scene.normals)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        return replace(scene, positions=new_pos, normals=n,
+                       prev_positions=prev_pos)

@@ -29,6 +29,8 @@ def save(scene: Scene, cache_path: str):
         normals=np.asarray(scene.normals),
         texcoords=np.asarray(scene.texcoords),
         material_id=np.asarray(scene.material_id),
+        tri_alpha_mask=np.asarray(scene.tri_alpha_mask),
+        node_id=np.asarray(scene.node_id),
         mat_base_color=np.asarray(scene.mat_base_color),
         mat_roughness=np.asarray(scene.mat_roughness),
         mat_emissive=np.asarray(scene.mat_emissive),
@@ -67,7 +69,13 @@ def load(cache_path: str) -> Scene:
     return make_scene(str(z["name"]), z["positions"], normals=z["normals"],
                       texcoords=z["texcoords"], material_id=z["material_id"],
                       materials=materials, lights=lights,
-                      env_radiance=tuple(z["env_radiance"]), camera=cam)
+                      env_radiance=tuple(z["env_radiance"]), camera=cam,
+                      tri_alpha_mask=(z["tri_alpha_mask"]
+                                      if "tri_alpha_mask" in z.files else None),
+                      node_id=(z["node_id"] if "node_id" in z.files else None),
+                      # positions were morton-sorted at build; keep order so
+                      # the per-triangle arrays stay aligned
+                      morton_sort=False)
 
 
 def load_cached(path: str, importer) -> Scene:

@@ -166,6 +166,197 @@ def import_pyscene(path) -> Scene:
     return builder.build(os.path.splitext(os.path.basename(path))[0])
 
 
+# ---------------------------------------------------------------------------
+# glTF 2.0 importer (reference plugins/importers/AssimpImporter handles
+# gltf/glb/fbx via Assimp, 13.4k LoC; this is a dependency-free reimport of
+# the glTF subset the renderer consumes: triangle meshes, node-hierarchy TRS
+# transforms, pbrMetallicRoughness materials incl. alphaMode=MASK,
+# doubleSided, emissiveFactor, punctual lights ext).
+# ---------------------------------------------------------------------------
+
+_GLTF_CTYPE = {5120: ("b", 1), 5121: ("B", 1), 5122: ("h", 2),
+               5123: ("H", 2), 5125: ("I", 4), 5126: ("f", 4)}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _gltf_load_buffers(doc, base_dir, glb_bin):
+    import base64
+    bufs = []
+    for b in doc.get("buffers", []):
+        uri = b.get("uri")
+        if uri is None:
+            bufs.append(glb_bin)
+        elif uri.startswith("data:"):
+            bufs.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                bufs.append(f.read())
+    return bufs
+
+
+def _gltf_accessor(doc, bufs, idx):
+    acc = doc["accessors"][idx]
+    view = doc["bufferViews"][acc["bufferView"]]
+    ch, csize = _GLTF_CTYPE[acc["componentType"]]
+    ncomp = _GLTF_NCOMP[acc["type"]]
+    count = acc["count"]
+    elem = csize * ncomp
+    stride = view.get("byteStride", elem)
+    off = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    raw = bufs[view["buffer"]]
+    a = np.frombuffer(raw, dtype=np.dtype(ch),
+                      count=(count - 1) * (stride // csize) + ncomp,
+                      offset=off)
+    if stride != elem:
+        a = np.lib.stride_tricks.as_strided(
+            a, (count, ncomp), (stride, csize)).copy()
+    else:
+        a = a[:count * ncomp].reshape(count, ncomp)
+    return np.ascontiguousarray(a)
+
+
+def _gltf_node_world(doc, idx, parent):
+    node = doc["nodes"][idx]
+    if "matrix" in node:
+        m = np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    else:
+        t = np.asarray(node.get("translation", (0, 0, 0)), np.float32)
+        q = np.asarray(node.get("rotation", (0, 0, 0, 1)), np.float32)
+        s = np.asarray(node.get("scale", (1, 1, 1)), np.float32)
+        x, y, z, w = q
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]],
+            np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = r * s[None, :]
+        m[:3, 3] = t
+    return parent @ m
+
+
+def import_gltf(path, camera: Camera | None = None) -> Scene:
+    """Import .gltf / .glb into a triangle-soup Scene. Node transforms are
+    flattened at import (SceneBuilder-style); materials map to the SoA
+    material table (baseColorFactor -> base_color, alphaMode MASK ->
+    alpha_mode=1 w/ cutoff-driven opacity, doubleSided, emissiveFactor)."""
+    import json as _json
+    import struct
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    glb_bin = None
+    if path.endswith(".glb"):
+        with open(path, "rb") as f:
+            magic, _ver, _len = struct.unpack("<III", f.read(12))
+            assert magic == 0x46546C67, "not a GLB file"
+            chunks = {}
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                clen, ctype = struct.unpack("<II", hdr)
+                chunks[ctype] = f.read(clen)
+        doc = _json.loads(chunks[0x4E4F534A])
+        glb_bin = chunks.get(0x004E4942)
+    else:
+        with open(path) as f:
+            doc = _json.load(f)
+    bufs = _gltf_load_buffers(doc, base_dir, glb_bin)
+
+    # materials
+    mats = []
+    for md in doc.get("materials", [{}]):
+        pbr = md.get("pbrMetallicRoughness", {})
+        base = pbr.get("baseColorFactor", [0.8, 0.8, 0.8, 1.0])
+        alpha_mask = md.get("alphaMode", "OPAQUE") == "MASK"
+        mats.append(dict(
+            base_color=tuple(base[:3]), roughness=pbr.get("roughnessFactor", 0.7),
+            emissive=tuple(md.get("emissiveFactor", (0.0, 0.0, 0.0))),
+            double_sided=bool(md.get("doubleSided", False)),
+            alpha_mode=1 if alpha_mask else 0,
+            opacity=float(base[3]) if alpha_mask else 1.0))
+    if not doc.get("materials"):
+        mats = [dict(base_color=(0.8, 0.8, 0.8))]
+
+    # flatten the node hierarchy
+    world = {}
+
+    def walk(idx, parent):
+        m = _gltf_node_world(doc, idx, parent)
+        world[idx] = m
+        for c in doc["nodes"][idx].get("children", []):
+            walk(c, m)
+
+    scene_def = doc.get("scenes", [{}])[doc.get("scene", 0)]
+    for root in scene_def.get("nodes", range(len(doc.get("nodes", [])))):
+        walk(root, np.eye(4, dtype=np.float32))
+
+    tris, norms, uvs, mids, nodes = [], [], [], [], []
+    for nidx, m in world.items():
+        node = doc["nodes"][nidx]
+        if "mesh" not in node:
+            continue
+        mesh = doc["meshes"][node["mesh"]]
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                continue  # triangles only
+            pos = _gltf_accessor(doc, bufs, prim["attributes"]["POSITION"])
+            pos = pos.astype(np.float32) @ m[:3, :3].T + m[:3, 3]
+            if "indices" in prim:
+                idx = _gltf_accessor(doc, bufs, prim["indices"]).reshape(-1)
+            else:
+                idx = np.arange(len(pos))
+            idx = idx.astype(np.int64).reshape(-1, 3)
+            tris.append(pos[idx])
+            if "NORMAL" in prim["attributes"]:
+                nrm = _gltf_accessor(doc, bufs, prim["attributes"]["NORMAL"])
+                nrm = nrm.astype(np.float32) @ np.linalg.inv(m[:3, :3]).T
+                norms.append(nrm[idx])
+            else:
+                norms.append(None)
+            if "TEXCOORD_0" in prim["attributes"]:
+                uv = _gltf_accessor(doc, bufs,
+                                    prim["attributes"]["TEXCOORD_0"])
+                uvs.append(uv.astype(np.float32)[idx])
+            else:
+                uvs.append(None)
+            mids.append(np.full(len(idx), prim.get("material", 0), np.int32))
+            nodes.append(np.full(len(idx), nidx, np.int32))
+
+    if not tris:
+        raise ValueError(f"no triangle geometry in {path}")
+    positions = np.concatenate(tris)
+    t = len(positions)
+    normals = (np.concatenate([n if n is not None
+                               else np.zeros((len(x), 3, 3), np.float32)
+                               for n, x in zip(norms, tris)])
+               if any(n is not None for n in norms) else None)
+    texcoords = (np.concatenate([u if u is not None
+                                 else np.zeros((len(x), 3, 2), np.float32)
+                                 for u, x in zip(uvs, tris)])
+                 if any(u is not None for u in uvs) else None)
+    material_id = np.concatenate(mids)
+    node_id = np.concatenate(nodes)
+
+    # punctual lights extension
+    lights = []
+    for ld in doc.get("extensions", {}).get("KHR_lights_punctual",
+                                            {}).get("lights", []):
+        c = np.asarray(ld.get("color", (1, 1, 1)), np.float32) \
+            * ld.get("intensity", 1.0)
+        if ld.get("type") == "directional":
+            lights.append(dict(type="directional", direction=(0, -1, 0),
+                               intensity=tuple(c)))
+        else:
+            lights.append(dict(type="point", position=(0, 3, 0),
+                               intensity=tuple(c)))
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    return make_scene(name, positions, normals=normals, texcoords=texcoords,
+                      material_id=material_id, materials=mats,
+                      lights=lights or None, camera=camera, node_id=node_id)
+
+
 def load_any(path_or_name: str, aspect=1.0) -> Scene:
     """Importer dispatch by extension (Scene/Importer.cpp), falling back to
     the procedural registry."""
@@ -173,5 +364,7 @@ def load_any(path_or_name: str, aspect=1.0) -> Scene:
         return import_obj(path_or_name)
     if path_or_name.endswith(".pyscene"):
         return import_pyscene(path_or_name)
+    if path_or_name.endswith((".gltf", ".glb")):
+        return import_gltf(path_or_name)
     from .procedural import load_scene
     return load_scene(path_or_name, aspect=aspect)

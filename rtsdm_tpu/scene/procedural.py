@@ -114,7 +114,8 @@ def _tree_patch(rng, n_trees, leaves_per_tree, extent):
 
     Returns (trunk_tris [Tt,3,3], leaf_tris [Tl,3,3])."""
     if n_trees == 0:
-        return (np.zeros((0, 3, 3), np.float32),) * 2
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.int32))
     cx = rng.uniform(-extent * 0.9, extent * 0.9, n_trees)
     cz = rng.uniform(-extent * 0.9, extent * 0.9, n_trees)
     th = rng.uniform(1.8, 4.5, n_trees)                     # trunk height
@@ -153,7 +154,24 @@ def _tree_patch(rng, n_trees, leaves_per_tree, extent):
     p2, p3 = centers + av + bv, centers - av + bv
     leaves = np.concatenate([np.stack([p0, p1, p2], 1),
                              np.stack([p0, p2, p3], 1)], 0).astype(np.float32)
-    return trunks, leaves
+
+    # alpha coverage: an elliptical leaf inscribed in the quad, baked as a
+    # 4x4 bitmap per triangle over barycentric (u,v) (scene.tri_alpha_mask)
+    def bake(quad_st):
+        m = 0
+        for j in range(4):
+            for i in range(4):
+                u, v = (i + 0.5) / 4.0, (j + 0.5) / 4.0
+                sq, tq = quad_st(u, v)
+                if sq * sq + tq * tq <= 1.0:
+                    m |= 1 << (i + 4 * j)
+        return m
+
+    mask1 = bake(lambda u, v: (-1 + 2 * u + 2 * v, -1 + 2 * v))
+    mask2 = bake(lambda u, v: (-1 + 2 * u, -1 + 2 * u + 2 * v))
+    leaf_masks = np.concatenate([np.full(n_leaf, mask1, np.int32),
+                                 np.full(n_leaf, mask2, np.int32)])
+    return trunks, leaves, leaf_masks
 
 
 def _town(name, seed, n_buildings, n_props, extent, aspect, cam_height=1.7,
@@ -208,16 +226,22 @@ def _town(name, seed, n_buildings, n_props, extent, aspect, cam_height=1.7,
         tris.append(np.array(quads, np.float32))
         mat_ids.append(np.full((2 * n,), 1 + rng.integers(0, len(palette)), np.int32))
 
+    alpha_masks = None
     if trees:
         trunk_mat = len(mats)
         mats.append(dict(base_color=(0.42, 0.30, 0.20), roughness=0.9))
         leaf_mat = len(mats)
         mats.append(dict(base_color=(0.20, 0.42, 0.16), roughness=0.8,
                          alpha_mode=1, opacity=0.75, double_sided=True))
-        trunks, leaves = _tree_patch(rng, trees, leaves_per_tree, extent)
+        trunks, leaves, leaf_masks = _tree_patch(rng, trees, leaves_per_tree,
+                                                 extent)
+        n_before = sum(t.shape[0] for t in tris)
         tris += [trunks, leaves]
         mat_ids += [np.full((trunks.shape[0],), trunk_mat, np.int32),
                     np.full((leaves.shape[0],), leaf_mat, np.int32)]
+        alpha_masks = np.concatenate([
+            np.full(n_before + trunks.shape[0], 0xFFFF, np.int32),
+            leaf_masks])
 
     positions = np.concatenate(tris, axis=0)
     material_id = np.concatenate(mat_ids, axis=0)
@@ -228,7 +252,8 @@ def _town(name, seed, n_buildings, n_props, extent, aspect, cam_height=1.7,
     lights = [dict(type="directional", direction=(0.4, -1.0, -0.3),
                    intensity=(3.0, 2.9, 2.7))]
     return make_scene(name, positions, material_id=material_id, materials=mats,
-                      lights=lights, env_radiance=(0.4, 0.5, 0.7), camera=cam)
+                      lights=lights, env_radiance=(0.4, 0.5, 0.7), camera=cam,
+                      tri_alpha_mask=alpha_masks)
 
 
 # Two detail tiers per scene: "small" (the round-1 box-towns; what the CPU

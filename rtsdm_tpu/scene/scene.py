@@ -32,6 +32,18 @@ class Scene:
     normals: jnp.ndarray        # [T,3,3] vertex normals (shading)
     texcoords: jnp.ndarray      # [T,3,2]
     material_id: jnp.ndarray    # [T] int32
+    # per-triangle 4x4 alpha coverage bitmap over barycentric (u,v), bit
+    # index = floor(u*4) + 4*floor(v*4); 0xFFFF = fully opaque. The
+    # TPU-native stand-in for textured hashed-alpha testing inside traversal
+    # (reference StochasticDepthMapRT.rt.slang:31-37, Common.slang:689-692):
+    # baked once at scene build, tested per hit in the ray kernels.
+    tri_alpha_mask: jnp.ndarray  # [T] int32
+    # geometry animation (reference Scene/Animation/AnimationController.h:43):
+    # node_id maps triangles to animated nodes (0 = static); prev_positions
+    # holds last frame's animated vertices for true object motion vectors
+    # (None for static scenes — an empty pytree leaf)
+    node_id: jnp.ndarray         # [T] int32
+    prev_positions: jnp.ndarray | None
     # materials SoA [M,...]
     mat_base_color: jnp.ndarray    # [M,3]
     mat_roughness: jnp.ndarray     # [M]
@@ -68,7 +80,8 @@ class Scene:
 
 def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
                materials=None, lights=None, env_radiance=(0.0, 0.0, 0.0),
-               camera: Camera | None = None, morton_sort: bool = True) -> Scene:
+               camera: Camera | None = None, morton_sort: bool = True,
+               tri_alpha_mask=None, node_id=None) -> Scene:
     """Assemble a Scene from host data (the SceneBuilder equivalent,
     reference Source/Falcor/Scene/SceneBuilder.h:54).
 
@@ -89,6 +102,10 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
             texcoords = np.asarray(texcoords, np.float32)[order]
         if material_id is not None:
             material_id = np.asarray(material_id, np.int32)[order]
+        if tri_alpha_mask is not None:
+            tri_alpha_mask = np.asarray(tri_alpha_mask, np.int32)[order]
+        if node_id is not None:
+            node_id = np.asarray(node_id, np.int32)[order]
     positions = jnp.asarray(positions, jnp.float32)
     t = positions.shape[0]
     if normals is None:
@@ -138,10 +155,21 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
     if camera is None:
         camera = Camera.create()
 
+    if tri_alpha_mask is None:
+        # constant-opacity materials: all-ones when opacity >= 0.5 (opaque
+        # or surviving hashed-alpha), all-zeros otherwise
+        keep = (amode[np.asarray(material_id)] == ALPHA_MODE_OPAQUE) \
+            | (opac[np.asarray(material_id)] >= 0.5)
+        tri_alpha_mask = np.where(keep, 0xFFFF, 0).astype(np.int32)
+    tri_alpha_mask = jnp.asarray(tri_alpha_mask, jnp.int32)
+    node_id = (jnp.zeros((t,), jnp.int32) if node_id is None
+               else jnp.asarray(node_id, jnp.int32))
+
     return Scene(
         name=name,
         positions=positions, normals=normals, texcoords=texcoords,
-        material_id=material_id,
+        material_id=material_id, tri_alpha_mask=tri_alpha_mask,
+        node_id=node_id, prev_positions=None,
         mat_base_color=jnp.asarray(base), mat_roughness=jnp.asarray(rough),
         mat_emissive=jnp.asarray(emis), mat_double_sided=jnp.asarray(dbl),
         mat_alpha_mode=jnp.asarray(amode), mat_opacity=jnp.asarray(opac),

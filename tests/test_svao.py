@@ -141,3 +141,152 @@ def test_band_renderer_screen_space_only():
     ao, color = jax.jit(fn)(scene)
     ao = np.asarray(ao)
     assert ao.shape == (h, w) and np.isfinite(ao).all()
+
+
+def test_reservoir_uniform_subset_chi_square():
+    """Bottom-k-by-hash must draw a uniform k-subset of all hits — the
+    distribution-equivalence claim vs the reference's streaming reservoir
+    (Common.slangh:137-151), previously argued but unmeasured (VERDICT r1
+    weak #8). Contrived scene: every ray crosses 32 parallel slabs; layer
+    selection counts are chi-square tested against uniform."""
+    from rtsdm_tpu.ops import rt
+    from rtsdm_tpu.scene.scene import make_scene
+    from rtsdm_tpu.scene.camera import Camera
+
+    n_layers, k, n_rays = 32, 4, 4096
+    tris = []
+    for i in range(n_layers):
+        z = -1.0 - i * 0.2
+        tris.append([[-50.0, -50.0, z], [50.0, -50.0, z], [0.0, 75.0, z]])
+    cam = Camera.create(position=(0, 0, 2), target=(0, 0, -1),
+                        near_z=0.1, far_z=20.0)
+    scene = make_scene("slabs", np.asarray(tris, np.float32), camera=cam,
+                       morton_sort=False)
+
+    rng = np.random.default_rng(3)
+    dirs = np.zeros((n_rays, 3), np.float32)
+    dirs[:, 0] = rng.uniform(-0.3, 0.3, n_rays)
+    dirs[:, 1] = rng.uniform(-0.3, 0.3, n_rays)
+    dirs[:, 2] = -1.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (n_rays, 3))
+    d = rt.sd_trace(scene, origins, jnp.asarray(dirs),
+                    jnp.zeros(n_rays), jnp.full((n_rays,), 19.0),
+                    num_samples=k, cull=rt.CULL_NONE)
+    d = np.asarray(d)
+    assert (d < 1.0).all(), "every ray hits all layers; k samples expected"
+
+    # map sampled depths back to layer ids
+    cosw = np.abs(dirs[:, 2])
+    t_hit = (2.0 - (-1.0 - np.arange(n_layers) * 0.2)) / cosw[:, None]
+    z_norm = (t_hit * cosw[:, None] - 0.1) / (20.0 - 0.1)
+    counts = np.zeros(n_layers)
+    for s in range(k):
+        layer = np.argmin(np.abs(z_norm - d[:, s:s + 1]), axis=1)
+        np.add.at(counts, layer, 1)
+    expected = n_rays * k / n_layers
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    # 31 dof: reject at p=0.001 if chi2 > 61.1
+    assert chi2 < 61.1, f"layer selection not uniform: chi2={chi2}, {counts}"
+
+
+def test_stratified_coverage_tables_match_reference_construction():
+    """The coverage tables must enumerate, for every popcount R, exactly the
+    C(k,R) masks with R bits (reference StochasticDepthMapRT.cpp:79-124)."""
+    from itertools import combinations
+    from rtsdm_tpu.utils.sampling import stratified_coverage_tables
+    for k in (4, 8):
+        indices, lookup = stratified_coverage_tables(k)
+        assert indices[0] == 0 and indices[-1] == len(lookup)
+        for r in range(k + 1):
+            group = lookup[indices[r]:indices[r + 1]]
+            want = sorted(sum(1 << b for b in c)
+                          for c in combinations(range(k), r))
+            assert sorted(int(m) for m in group) == want, (k, r)
+
+
+def test_alpha_coverage_mask_in_traversal():
+    """Alpha-tested traversal honors the baked 4x4 coverage bitmap
+    (VERDICT r1 next #7): rays through the transparent corner of a leaf
+    quad miss; through the opaque center hit; alphaTest=False hits both."""
+    from rtsdm_tpu.ops import rt
+    from rtsdm_tpu.scene.scene import make_scene
+    from rtsdm_tpu.scene.camera import Camera
+
+    # leaf quad in z=0 plane, quad coords (s,t) in [-1,1]^2; ellipse mask
+    p0, p1 = (-1.0, -1.0, 0.0), (1.0, -1.0, 0.0)
+    p2, p3 = (1.0, 1.0, 0.0), (-1.0, 1.0, 0.0)
+    tris = np.asarray([[p0, p1, p2], [p0, p2, p3]], np.float32)
+
+    def bake(quad_st):
+        m = 0
+        for j in range(4):
+            for i in range(4):
+                u, v = (i + 0.5) / 4.0, (j + 0.5) / 4.0
+                s, t = quad_st(u, v)
+                if s * s + t * t <= 1.0:
+                    m |= 1 << (i + 4 * j)
+        return m
+
+    masks = np.asarray([bake(lambda u, v: (-1 + 2 * u + 2 * v, -1 + 2 * v)),
+                        bake(lambda u, v: (-1 + 2 * u, -1 + 2 * u + 2 * v))],
+                       np.int32)
+    cam = Camera.create(position=(0, 0, 3), target=(0, 0, 0),
+                        near_z=0.1, far_z=10.0)
+    scene = make_scene("leaf", tris, material_id=np.zeros(2, np.int32),
+                       materials=[dict(base_color=(0, 1, 0), alpha_mode=1,
+                                       opacity=0.75, double_sided=True)],
+                       camera=cam, morton_sort=False, tri_alpha_mask=masks)
+
+    # center ray (inside the ellipse) and corner rays whose 4x4 barycentric
+    # cells are cleanly transparent (the (-.9,-.9) corner shares a coarse
+    # cell with in-ellipse area under tri1's skewed parameterization)
+    targets = np.asarray([[0.0, 0.0, 0.0], [0.9, -0.9, 0.0], [0.9, 0.9, 0.0],
+                          [-0.9, 0.9, 0.0]], np.float32)
+    o = np.asarray([0.0, 0.0, 3.0], np.float32)
+    dirs = targets - o
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(jnp.asarray(o), (4, 3))
+    tmin = jnp.zeros(4)
+    tmax = jnp.full((4,), 9.0)
+
+    d_on = np.asarray(rt.sd_trace(scene, origins, jnp.asarray(dirs), tmin,
+                                  tmax, num_samples=1, cull=rt.CULL_NONE,
+                                  alpha_test=True))[:, 0]
+    d_off = np.asarray(rt.sd_trace(scene, origins, jnp.asarray(dirs), tmin,
+                                   tmax, num_samples=1, cull=rt.CULL_NONE,
+                                   alpha_test=False))[:, 0]
+    assert d_on[0] < 1.0          # center: opaque cell -> hit
+    assert (d_on[1:] == 1.0).all()  # corners: transparent cells -> miss
+    assert (d_off < 1.0).all()    # no alpha test: everything hits
+
+
+def test_foliage_scene_sd_differs_with_alpha_test():
+    """On a foliage scene the SD map must differ measurably between
+    alphaTest on/off (the VERDICT #7 done-criterion)."""
+    from rtsdm_tpu.ops import rt
+    from rtsdm_tpu.scene.procedural import _town
+
+    scene = _town("mini", seed=9, n_buildings=2, n_props=2, extent=6.0,
+                  aspect=1.0, trees=24, leaves_per_tree=48)
+    cam = scene.camera
+    n = 1024
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.uniform(0, 128, (n, 2)).astype(np.float32))
+    o, dirs = cam.compute_ray_pinhole(px, (128, 128),
+                                      jitter=jnp.full((n, 2), 0.5))
+    origins = jnp.broadcast_to(o, (n, 3))
+    tmin = jnp.zeros(n)
+    tmax = jnp.full((n,), 60.0)
+    d_on = np.asarray(rt.sd_trace(scene, origins, dirs, tmin, tmax,
+                                  num_samples=4, alpha_test=True,
+                                  cull=rt.CULL_NONE))
+    d_off = np.asarray(rt.sd_trace(scene, origins, dirs, tmin, tmax,
+                                   num_samples=4, alpha_test=False,
+                                   cull=rt.CULL_NONE))
+    frac_diff = (np.abs(d_on - d_off) > 1e-4).mean()
+    assert frac_diff > 0.02, f"alpha test changed only {frac_diff:.3%} of SD"
+    # alpha-on can only remove hits: per-ray hit count must not increase
+    hits_on = (d_on < 1.0).sum()
+    hits_off = (d_off < 1.0).sum()
+    assert hits_on < hits_off

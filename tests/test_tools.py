@@ -62,3 +62,78 @@ def test_timing_capture(tmp_path):
     m.renderFrame()
     lines = open(f).read().strip().splitlines()
     assert len(lines) == 2 and float(lines[0]) > 0
+
+
+def test_flip_full_metric_properties():
+    """The full LDR-FLIP (Andersson et al. 2020, FLIPPass.cs.slang):
+    identical images -> ~0; green-vs-blue (the normalization anchor) -> ~1;
+    small perturbations land strictly between; error grows with distance."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.utils.compare import flip_error
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (48, 48, 3)).astype(np.float32))
+    zero = np.asarray(flip_error(img, img))
+    assert zero.shape == (48, 48)
+    assert zero.max() < 1e-3
+
+    green = jnp.zeros((32, 32, 3)).at[..., 1].set(1.0)
+    blue = jnp.zeros((32, 32, 3)).at[..., 2].set(1.0)
+    gb = np.asarray(flip_error(green, blue))
+    assert gb.mean() > 0.95  # the HyAB normalization anchor
+
+    small = np.asarray(flip_error(img, jnp.clip(img + 0.05, 0, 1)))
+    large = np.asarray(flip_error(img, jnp.clip(img + 0.3, 0, 1)))
+    assert 0.0 < small.mean() < large.mean() < 1.0
+
+
+def test_gltf_importer_roundtrip(tmp_path):
+    """Dependency-free glTF 2.0 import: node TRS flattening, indexed
+    triangles, pbrMetallicRoughness materials, alphaMode=MASK."""
+    import base64
+    import json
+    import numpy as np
+    from rtsdm_tpu.scene.importers import import_gltf, load_any
+
+    # two triangles (an indexed quad), one node translated by (1,0,0)
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([0, 1, 2, 0, 2, 3], np.uint16)
+    blob = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [1.0, 0.0, 0.0]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness":
+                       {"baseColorFactor": [0.2, 0.4, 0.6, 1.0],
+                        "roughnessFactor": 0.5},
+                       "alphaMode": "MASK", "doubleSided": True}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": idx.nbytes},
+        ],
+        "buffers": [{"byteLength": len(blob),
+                     "uri": "data:application/octet-stream;base64,"
+                            + base64.b64encode(blob).decode()}],
+    }
+    p = tmp_path / "quad.gltf"
+    p.write_text(json.dumps(doc))
+    scene = import_gltf(str(p))
+    assert scene.num_triangles == 2
+    P = np.asarray(scene.positions).reshape(-1, 3)
+    assert P[:, 0].min() >= 1.0 - 1e-6  # node translation applied
+    assert np.allclose(np.asarray(scene.mat_base_color)[0], [0.2, 0.4, 0.6])
+    assert int(np.asarray(scene.mat_alpha_mode)[0]) == 1
+    assert bool(np.asarray(scene.mat_double_sided)[0])
+    # dispatch through load_any
+    scene2 = load_any(str(p))
+    assert scene2.num_triangles == 2

@@ -77,8 +77,13 @@ def main():
     from rtsdm_tpu.scene.procedural import cornell_box, load_scene
 
     report = {"device": str(jax.devices()[0]), "checks": {}}
+    t_start = time.time()
+
+    def log(msg):
+        print(f"[{time.time() - t_start:7.1f}s] {msg}", flush=True)
 
     # ---- 1. parity on the Cornell box --------------------------------------
+    log("phase 1: cornell parity")
     scene = cornell_box()
     cam = scene.camera
     n = 4096
@@ -94,6 +99,7 @@ def main():
 
     v0t, e1t, e2t, flags = rp.prep_triangles(scene, True)
     tri_packed, aabb = rp.prep_triangles_packed(scene, True)
+    log("tracing (resident + stream)")
     res = np.asarray(rp.sd_trace_pallas(
         v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, cosw,
         cam.near_z, cam.far_z, num_samples=k))
@@ -105,6 +111,7 @@ def main():
     # Pallas depths must be a subset of the oracle hit set (quantized 16-bit),
     # and must find min(k, hits) samples per ray; in kbuffer terms the XLA
     # path's nearest-k must match the oracle's nearest-k.
+    log("numpy oracle")
     oracle = numpy_oracle_depths(scene, origins, dirs,
                                  np.asarray(tmin), np.asarray(tmax))
     d_pal = np.where(res == rp.INVALID, np.nan,
@@ -121,6 +128,7 @@ def main():
     report["checks"]["pallas_hits_subset_of_oracle"] = bool(subset_ok)
     report["checks"]["pallas_hit_count_matches_oracle"] = bool(count_ok)
 
+    log("xla kbuffer")
     d_xla = np.asarray(rt.sd_trace(scene, origins, dirs, tmin, tmax,
                                    num_samples=k, kbuffer=True,
                                    cull=rt.CULL_BACK))
@@ -134,7 +142,9 @@ def main():
 
     # ---- 2. scaling on reference-scale scenes ------------------------------
     def bench_scene(name):
+        log(f"scaling: {name} (scene gen)")
         sc = load_scene(name, aspect=16 / 9, detail="full")
+        log(f"scaling: {name} tris={sc.num_triangles} (prep+trace)")
         c = sc.camera
         w, h = 480 + 2 * 64, 270 + 2 * 64  # 1080p SD grid at divisor 4 + guard
         r = w * h
@@ -144,18 +154,27 @@ def main():
         pix = jnp.asarray(np.stack([pxg, pyg], -1).reshape(-1, 2))
         o1, dd = c.compute_ray_pinhole(pix, (480, 270),
                                        jitter=jnp.full((r, 2), 0.5))
-        oo = jnp.broadcast_to(o1, (r, 3))
         # AO-interval-like short segments starting at a SMOOTH plausible
         # depth field (neighboring SD rays have correlated depths in the
-        # real pipeline — block AABBs stay tight)
-        depth_field = (12.0 + 8.0 * np.sin(pxg / 97.0)
-                       * np.cos(pyg / 61.0)).astype(np.float32).reshape(-1)
-        t0 = jnp.asarray(depth_field)
+        # real pipeline); rays go through the production 8x32 tile order
+        depth_field = jnp.asarray(
+            (12.0 + 8.0 * np.sin(pxg / 97.0)
+             * np.cos(pyg / 61.0)).astype(np.float32))
+        dd2 = dd.reshape(h, w, 3)
+        cw2 = jnp.sum(dd2 * (c.camera_w / jnp.linalg.norm(c.camera_w)), -1)
+
+        def tf(a, fill=0.0):
+            p, _ = rp.pad_tile(a, fill)
+            return rp.tile_flatten(p)
+
+        ph, pw = h + (-h) % rp.TILE_RH, w + (-w) % rp.TILE_RW
+        oo = jnp.broadcast_to(o1, (ph * pw, 3))
+        t0 = tf(depth_field)
         t1 = t0 + 0.4  # 2*radius class interval
-        cw = jnp.sum(dd * (c.camera_w / jnp.linalg.norm(c.camera_w)), -1)
         tp, ab = rp.prep_triangles_packed(sc, True)
         tp, ab = jax.block_until_ready((tp, ab))
-        args = (tp, ab, oo, dd, t0, t1, cw, c.near_z, c.far_z)
+        args = (tp, ab, oo, tf(dd2), t0, jnp.where(t0 > 0, t1, -1.0),
+                tf(cw2), c.near_z, c.far_z)
         out = rp.sd_trace_pallas_stream(*args, num_samples=4)
         jax.block_until_ready(out)
         ts = []
@@ -166,7 +185,7 @@ def main():
             ts.append(time.perf_counter() - s0)
         return dict(triangles=int(sc.num_triangles),
                     chunks=int(ab.shape[1]),
-                    rays=r, ms=round(min(ts) * 1e3, 3))
+                    rays=ph * pw, ms=round(min(ts) * 1e3, 3))
 
     for name in ("Arcade", "SunTemple", "Bistro"):
         report["checks"][f"stream_scaling_{name}"] = bench_scene(name)
