@@ -23,6 +23,10 @@ class FrameCapture:
     def __init__(self):
         self.outputDir = "."
         self.baseFilename = "Mogwai"
+        # "npy" (exact), "exr" (HDR interchange), or "png" (LDR only);
+        # a .png preview is written alongside either way (the reference
+        # captures EXR for HDR outputs, FrameCapture.cpp)
+        self.format = "npy"
         self.captured: list[str] = []
         self._renderer = None
 
@@ -42,14 +46,18 @@ class FrameCapture:
         for name, arr in r._last_outputs.items():
             a = np.asarray(arr)
             base = f"{self.baseFilename}.{r.active_graph.name}.{name}.{frame}"
-            npy = os.path.join(self.outputDir, base + ".npy")
-            png = os.path.join(self.outputDir, base + ".png")
-            np.save(npy, a)
-            try:
-                from PIL import Image
-                Image.fromarray(_to_u8(a)).save(png)
-            except Exception:
-                pass
-            files.append(npy)
+            from ..utils.image_io import save_image
+            ext = self.format if self.format in ("npy", "exr", "png") else "npy"
+            main = os.path.join(self.outputDir, base + "." + ext)
+            save_image(main, a if ext != "exr" or a.ndim == 2
+                       else a[..., :min(a.shape[-1], 4)])
+            if ext != "png":
+                png = os.path.join(self.outputDir, base + ".png")
+                try:
+                    from PIL import Image
+                    Image.fromarray(_to_u8(a)).save(png)
+                except Exception:
+                    pass
+            files.append(main)
         self.captured.extend(files)
         return files

@@ -133,10 +133,11 @@ def _front_accept(scene, chunk_ids, front, bary_uv, alpha_test: bool):
     return ok
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "cull", "alpha_test"))
+@functools.partial(jax.jit, static_argnames=("chunk", "cull", "alpha_test",
+                                              "ray_block"))
 def vao_interval_query(scene, origins, dirs, tmin, tmax, t_sphere_start,
                        chunk: int = DEFAULT_CHUNK, cull: int = CULL_NONE,
-                       alpha_test: bool = True):
+                       alpha_test: bool = True, ray_block: int = 65536):
     """The VAO refinement ray (SVAO/Common.slang:699-713 + traceAORay,
     SVAORaster2.ps.slang:9-46): over front hits with t in (tmin, tmax),
       t_last_halo  = max t with t <= t_sphere_start   (halo blocker)
@@ -146,21 +147,53 @@ def vao_interval_query(scene, origins, dirs, tmin, tmax, t_sphere_start,
     v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
     tri_ids_all = jnp.arange(tris.shape[0]) % max(scene.positions.shape[0], 1)
 
-    def body(carry, idx):
+    def body_block(carry, idx, o, d, tn, tx, ts):
         last_halo, first_in = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
-        t, valid, front, uv = _mt_intersect(origins, dirs, sl(v0), sl(e1), sl(e2), cull)
+        t, valid, front, uv = _mt_intersect(o, d, sl(v0), sl(e1), sl(e2), cull)
         in_pad = (idx * chunk + jnp.arange(chunk)) >= scene.positions.shape[0]
         ok = valid & _front_accept(scene, sl(tri_ids_all), front, uv,
                                    alpha_test) & ~in_pad[None, :]
-        ok = ok & (t > tmin[:, None]) & (t < tmax[:, None])
-        halo = ok & (t <= t_sphere_start[:, None])
-        inside = ok & (t > t_sphere_start[:, None])
+        ok = ok & (t > tn[:, None]) & (t < tx[:, None])
+        halo = ok & (t <= ts[:, None])
+        inside = ok & (t > ts[:, None])
         last_halo = jnp.maximum(last_halo, jnp.max(jnp.where(halo, t, -jnp.inf), axis=1))
         first_in = jnp.minimum(first_in, jnp.min(jnp.where(inside, t, jnp.inf), axis=1))
         return (last_halo, first_in), None
 
+    def body(carry, idx):
+        return body_block(carry, idx, origins, dirs, tmin, tmax,
+                          t_sphere_start)
+
     r = origins.shape[0]
+
+    # Block the rays so the per-step intermediates stay [RB, chunk] instead
+    # of [r, chunk] — at 1080p+guard-band r is ~6-8M rays and a single
+    # full-width step would materialize tens of GB (observed OOM at
+    # f32[8.4M,256,3]). lax.map over ray blocks keeps peak memory flat.
+    RB = ray_block
+    if r > RB:
+        pad = (-r) % RB
+        def pad0(a, fill=0.0):
+            return jnp.concatenate([a, jnp.full((pad,) + a.shape[1:], fill,
+                                                a.dtype)]) if pad else a
+        ob = pad0(origins).reshape(-1, RB, 3)
+        db = pad0(dirs).reshape(-1, RB, 3)
+        tminb = pad0(tmin).reshape(-1, RB)
+        tmaxb = pad0(tmax, -1.0).reshape(-1, RB)
+        tsb = pad0(t_sphere_start).reshape(-1, RB)
+
+        def one_block(args):
+            o, d, tn, tx, ts = args
+            def bodyb(carry, idx):
+                return body_block(carry, idx, o, d, tn, tx, ts)
+            init = (jnp.full((RB,), -jnp.inf), jnp.full((RB,), jnp.inf))
+            out, _ = jax.lax.scan(bodyb, init, jnp.arange(n_chunks))
+            return out
+
+        lh, fi = jax.lax.map(one_block, (ob, db, tminb, tmaxb, tsb))
+        return lh.reshape(-1)[:r], fi.reshape(-1)[:r]
+
     init = (jnp.full((r,), -jnp.inf), jnp.full((r,), jnp.inf))
     (last_halo, first_in), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     return last_halo, first_in

@@ -62,12 +62,14 @@ def _cosine_dirs(n, seed=11):
 
 
 def _jenkins(x):
+    # uint32 arithmetic wraps mod 2^32 — no explicit masks (a 0xFFFFFFFF
+    # literal weak-types to int32 and overflows at trace time on TPU)
     x = x.astype(jnp.uint32)
-    x = (x + (x << 10)) & 0xFFFFFFFF
+    x = x + (x << 10)
     x = x ^ (x >> 6)
-    x = (x + (x << 3)) & 0xFFFFFFFF
+    x = x + (x << 3)
     x = x ^ (x >> 11)
-    x = (x + (x << 15)) & 0xFFFFFFFF
+    x = x + (x << 15)
     return x
 
 

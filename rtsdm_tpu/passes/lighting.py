@@ -40,8 +40,16 @@ class EnvMapPass(RenderPass):
 
     def execute(self, ctx, inputs, state=None):
         h, w = inputs["depth"].shape
-        env = ctx.scene.env_radiance
-        color = jnp.broadcast_to(env, (h, w, 3))
+        scene = ctx.scene
+        if scene.env_map is not None:
+            from ..scene.textures import sample_env
+            xs = jnp.arange(w, dtype=jnp.float32)
+            ys = jnp.arange(h, dtype=jnp.float32)
+            px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1)
+            _, dirs = scene.camera.compute_ray_pinhole(px, (w, h))
+            color = sample_env(scene.env_map, dirs) * scene.env_radiance
+        else:
+            color = jnp.broadcast_to(scene.env_radiance, (h, w, 3))
         return {"color": color}, None
 
 
@@ -108,6 +116,11 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
     mid = jnp.maximum(g["mtlData"], 0)
     albedo = scene.mat_base_color[mid]
     emissive = scene.mat_emissive[mid]
+    if scene.tex_pages is not None and g.get("texC") is not None:
+        # one bilinear fetch per pixel, shading pass only (textures.py rules)
+        from ..scene.textures import sample_pages
+        albedo = albedo * sample_pages(scene.tex_pages, scene.mat_tex[mid],
+                                       g["texC"])
     n = g["normW"][..., :3]
     p = g["posW"][..., :3]
 
@@ -160,12 +173,13 @@ class DeferredLighting(RenderPass):
     def reflect(self, ctx):
         return (PassReflection().add_input("posW").add_input("normW")
                 .add_input("mtlData").add_input("color")
+                .add_input("texC", optional=True)
                 .add_input("visibilityBuffer", optional=True)
                 .add_output("color"))
 
     def execute(self, ctx, inputs, state=None):
         g = {"posW": inputs["posW"], "normW": inputs["normW"],
-             "mtlData": inputs["mtlData"]}
+             "mtlData": inputs["mtlData"], "texC": inputs.get("texC")}
         color = _shade(ctx.scene, g, inputs.get("visibilityBuffer"),
                        inputs["color"],
                        float(self.cfg["ambientIntensity"]),

@@ -31,6 +31,25 @@ def _rand01(seed):
         / float(1 << 24)
 
 
+def _env_radiance(scene, d):
+    """Miss radiance: lat-long env texture when present, constant otherwise
+    (ref Scene/Lights/EnvMap.cpp eval)."""
+    if scene.env_map is None:
+        return scene.env_radiance
+    from ..scene.textures import sample_env
+    return sample_env(scene.env_map, d) * scene.env_radiance
+
+
+def _textured_albedo(scene, mid, tid, p, albedo):
+    """Base color modulated by the material texture at the hit point —
+    one bilinear fetch per ray, shading side only (scene/textures.py)."""
+    if scene.tex_pages is None:
+        return albedo
+    from ..scene.textures import sample_pages
+    return albedo * sample_pages(scene.tex_pages, scene.mat_tex[mid],
+                                 scene.hit_uv(tid, p))
+
+
 def _cosine_dir(n, u1, u2):
     r = jnp.sqrt(u1)
     phi = 2.0 * 3.14159265 * u2
@@ -80,7 +99,8 @@ class MinimalPathTracer(RenderPass):
             hit = (tid >= 0) & alive
             # environment on miss
             radiance = radiance + jnp.where((~hit & alive)[..., None],
-                                            throughput * scene.env_radiance, 0.0)
+                                            throughput * _env_radiance(scene, d),
+                                            0.0)
             mid = jnp.maximum(scene.material_id[jnp.maximum(tid, 0)], 0)
             albedo = scene.mat_base_color[mid]
             emissive = scene.mat_emissive[mid]
@@ -88,6 +108,7 @@ class MinimalPathTracer(RenderPass):
                                             throughput * emissive, 0.0)
 
             p = o + d * t[..., None]
+            albedo = _textured_albedo(scene, mid, tid, p, albedo)
             n = face_n[jnp.maximum(tid, 0)]
             n = jnp.where((jnp.sum(n * d, -1) > 0)[..., None], -n, n)
 
@@ -238,12 +259,26 @@ class PathTracer(RenderPass):
         pos = np.asarray(scene.positions)[ids]
         area = 0.5 * np.linalg.norm(
             np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]), axis=-1)
-        cdf = np.cumsum(area)
-        total = float(cdf[-1])
+        # power-proportional selection (flux = Le_lum * area * pi) — the flat
+        # TPU-native equivalent of the reference's EmissivePowerSampler
+        # (Rendering/Lights/EmissivePowerSampler.cpp; the hierarchical
+        # LightBVH collapses to a CDF table at our light counts)
+        lum = emis[ids] @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+        power = np.maximum(lum * area, 1e-12)
+        cdf = np.cumsum(power)
+        total_p = float(cdf[-1])
+        # per-triangle area pdf = power_i / total_power / area_i
+        inv_area_pdf = (power / total_p) / np.maximum(area, 1e-12)
         self._emissive = dict(ids=jnp.asarray(ids.astype(np.int32)),
-                              cdf=jnp.asarray((cdf / total).astype(np.float32)),
+                              cdf=jnp.asarray((cdf / total_p).astype(np.float32)),
                               area=jnp.asarray(area.astype(np.float32)),
-                              total_area=total)
+                              pdf_area=jnp.asarray(
+                                  inv_area_pdf.astype(np.float32)),
+                              total_area=float(area.sum()))
+        # dense tid -> area pdf (for MIS weighting of BSDF hits on emitters)
+        dense = np.zeros((scene.num_triangles,), np.float32)
+        dense[ids] = inv_area_pdf
+        self._emissive["pdf_area_by_tid"] = jnp.asarray(dense)
 
     def reflect(self, ctx):
         return (PassReflection().add_input("vbuffer", optional=True)
@@ -275,9 +310,8 @@ class PathTracer(RenderPass):
         wi = to_q / jnp.maximum(dist[..., None], 1e-8)
         cos_l = jnp.abs(jnp.sum(ln * wi, -1))
         le = scene.mat_emissive[scene.material_id[tid]]
-        # area pdf = 1/total_area; to solid angle
-        pdf_w = (dist * dist) / jnp.maximum(
-            cos_l * em["total_area"], 1e-8)
+        # power-weighted area pdf -> solid angle (EmissivePowerSampler)
+        pdf_w = (dist * dist) * em["pdf_area"][idx] / jnp.maximum(cos_l, 1e-8)
         valid = (cos_l > 1e-4) & (dist > 1e-4)
         return wi, dist, le, pdf_w, valid, tid
 
@@ -290,7 +324,8 @@ class PathTracer(RenderPass):
         ln = jnp.cross(e1, e2)
         a2 = jnp.linalg.norm(ln, axis=-1)
         cos_l = jnp.abs(jnp.sum(ln * wi, -1)) / jnp.maximum(a2, 1e-8)
-        return (t * t) / jnp.maximum(cos_l * em["total_area"], 1e-8)
+        pdf_area = em["pdf_area_by_tid"][jnp.maximum(tid, 0)]
+        return (t * t) * pdf_area / jnp.maximum(cos_l, 1e-8)
 
     # ------------------------------------------------------------------------
     def execute(self, ctx, inputs, state=None):
@@ -348,7 +383,8 @@ class PathTracer(RenderPass):
                                         chunk=chunk)
             hit = (tid >= 0) & alive
             radiance = radiance + jnp.where(
-                (~hit & alive)[..., None], throughput * scene.env_radiance, 0.0)
+                (~hit & alive)[..., None],
+                throughput * _env_radiance(scene, d), 0.0)
 
             mid = jnp.maximum(scene.material_id[jnp.maximum(tid, 0)], 0)
             albedo = scene.mat_base_color[mid]
@@ -370,6 +406,7 @@ class PathTracer(RenderPass):
                 hit[..., None], throughput * emissive * w_mis[..., None], 0.0)
 
             p = o + d * t[..., None]
+            albedo = _textured_albedo(scene, mid, tid, p, albedo)
             n = face_n[jnp.maximum(tid, 0)]
             n = jnp.where((jnp.sum(n * d, -1) > 0)[..., None], -n, n)
             wo = -d

@@ -210,11 +210,10 @@ class ImageLoader(RenderPass):
         fn = self.cfg["filename"]
         if not fn:
             return {"dst": jnp.zeros((ctx.height, ctx.width, 4))}, None
-        if str(fn).endswith(".npy"):
-            img = _np.load(fn).astype(_np.float32)
-        else:
-            from PIL import Image
-            img = _np.asarray(Image.open(fn)).astype(_np.float32) / 255.0
+        from ..utils.image_io import load_image
+        img = load_image(str(fn)).astype(_np.float32)
+        if self.cfg["srgb"]:
+            img = _np.power(_np.clip(img, 0.0, 1.0), 2.2)
         return {"dst": jnp.asarray(img)}, None
 
 

@@ -201,3 +201,57 @@ class AnimationController:
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
         return replace(scene, positions=new_pos, normals=n,
                        prev_positions=prev_pos)
+
+
+class SkinnedController(AnimationController):
+    """Linear-blend skinning (reference Scene/Animation/Skinning.slang:
+    boneWeights . boneMats[boneIds] applied per vertex; SkinningPass
+    dispatches a vertex-wide compute — here one jit-traced batched einsum).
+
+    tracks map JOINT ids to NodeTracks; `bind_inv` are the inverse bind
+    matrices [J,4,4]. Vertices carry up to 4 (joint, weight) influences on
+    the scene (skin_joints/skin_weights [T,3,4]); weights 0 pad unused
+    slots. Triangles with all-zero weights stay rigid via node_id."""
+
+    def __init__(self, tracks, bind_inv, dt: float = 1 / 60):
+        super().__init__(tracks, dt=dt)
+        self.bind_inv = np.asarray(bind_inv, np.float32)
+
+    def _skin_mats(self, time: float) -> np.ndarray:
+        """[J,4,4] joint-to-world times inverse bind."""
+        j = self.bind_inv.shape[0]
+        mats = np.tile(np.eye(4, dtype=np.float32), (j, 1, 1))
+        for nid, tr in self.tracks.items():
+            if nid < j:
+                mats[nid] = tr.sample(time) @ self.bind_inv[nid]
+        return mats
+
+    def animate(self, scene, time: float):
+        import jax.numpy as jnp
+        from ..utils.structs import replace
+        if scene.skin_joints is None:
+            return super().animate(scene, time)
+        base = scene.positions
+
+        def apply(mats):
+            m = mats[scene.skin_joints]                 # [T,3,4,4,4] gather
+            r = m[..., :3, :3]
+            t = m[..., :3, 3]
+            v = (jnp.einsum("tvkij,tvj->tvki", r, base) + t)    # [T,3,4,3]
+            w = scene.skin_weights[..., None]                    # [T,3,4,1]
+            wsum = jnp.maximum(scene.skin_weights.sum(-1), 1e-8)
+            blended = (v * w).sum(2) / wsum[..., None]
+            rigid = jnp.isclose(scene.skin_weights.sum(-1), 0.0)[..., None]
+            return jnp.where(rigid, base, blended)
+
+        new_pos = apply(jnp.asarray(self._skin_mats(time)))
+        prev_pos = apply(jnp.asarray(
+            self._skin_mats(max(time - self.dt, 0.0))))
+        # recompute face-aligned shading normals from the deformed soup
+        e1 = new_pos[:, 1] - new_pos[:, 0]
+        e2 = new_pos[:, 2] - new_pos[:, 0]
+        fn = jnp.cross(e1, e2)
+        fn = fn / jnp.maximum(jnp.linalg.norm(fn, -1, keepdims=True), 1e-8)
+        n = jnp.broadcast_to(fn[:, None, :], new_pos.shape)
+        return replace(scene, positions=new_pos, normals=n,
+                       prev_positions=prev_pos)

@@ -42,6 +42,14 @@ def save(scene: Scene, cache_path: str):
         light_dir=np.asarray(scene.light_dir),
         light_intensity=np.asarray(scene.light_intensity),
         env_radiance=np.asarray(scene.env_radiance),
+        mat_tex=np.asarray(scene.mat_tex),
+        **({} if scene.tex_pages is None
+           else dict(tex_pages=np.asarray(scene.tex_pages))),
+        **({} if scene.env_map is None
+           else dict(env_map=np.asarray(scene.env_map))),
+        **({} if scene.skin_joints is None
+           else dict(skin_joints=np.asarray(scene.skin_joints),
+                     skin_weights=np.asarray(scene.skin_weights))),
         cam_pos=np.asarray(cam.pos_w), cam_target=np.asarray(cam.target),
         cam_up=np.asarray(cam.up), cam_focal=np.asarray(cam.focal_length),
         cam_aspect=np.asarray(cam.aspect), cam_near=np.asarray(cam.near_z),
@@ -66,16 +74,27 @@ def load(cache_path: str) -> Scene:
                    direction=tuple(z["light_dir"][i]),
                    intensity=tuple(z["light_intensity"][i]))
               for i in range(len(z["light_type"]))]
-    return make_scene(str(z["name"]), z["positions"], normals=z["normals"],
-                      texcoords=z["texcoords"], material_id=z["material_id"],
-                      materials=materials, lights=lights,
-                      env_radiance=tuple(z["env_radiance"]), camera=cam,
-                      tri_alpha_mask=(z["tri_alpha_mask"]
-                                      if "tri_alpha_mask" in z.files else None),
-                      node_id=(z["node_id"] if "node_id" in z.files else None),
-                      # positions were morton-sorted at build; keep order so
-                      # the per-triangle arrays stay aligned
-                      morton_sort=False)
+    scene = make_scene(str(z["name"]), z["positions"], normals=z["normals"],
+                       texcoords=z["texcoords"], material_id=z["material_id"],
+                       materials=materials, lights=lights,
+                       env_radiance=tuple(z["env_radiance"]), camera=cam,
+                       tri_alpha_mask=(z["tri_alpha_mask"]
+                                       if "tri_alpha_mask" in z.files else None),
+                       node_id=(z["node_id"] if "node_id" in z.files else None),
+                       env_map=(z["env_map"] if "env_map" in z.files else None),
+                       skin_joints=(z["skin_joints"]
+                                    if "skin_joints" in z.files else None),
+                       skin_weights=(z["skin_weights"]
+                                     if "skin_weights" in z.files else None),
+                       # positions were morton-sorted at build; keep order so
+                       # the per-triangle arrays stay aligned
+                       morton_sort=False)
+    if "tex_pages" in z.files:  # baked pages round-trip directly
+        from ..utils.structs import replace
+        import jax.numpy as jnp
+        scene = replace(scene, tex_pages=jnp.asarray(z["tex_pages"]),
+                        mat_tex=jnp.asarray(z["mat_tex"], jnp.int32))
+    return scene
 
 
 def load_cached(path: str, importer) -> Scene:

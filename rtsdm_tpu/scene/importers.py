@@ -20,11 +20,25 @@ from .camera import Camera
 from .scene import Scene, make_scene
 
 
+def _load_image(path):
+    """Host-side image decode (PNG/JPEG/BMP via PIL) -> [h,w,c] uint8/float.
+    Returns None if the file is missing or PIL can't read it."""
+    try:
+        from PIL import Image
+        import numpy as _np
+        with Image.open(path) as im:
+            return _np.asarray(im.convert("RGBA" if "A" in im.getbands()
+                                          else "RGB"))
+    except Exception:
+        return None
+
+
 def _parse_mtl(path):
     mats = {}
     cur = None
     if not os.path.exists(path):
         return mats
+    base = os.path.dirname(path)
     for line in open(path):
         t = line.split()
         if not t:
@@ -34,6 +48,12 @@ def _parse_mtl(path):
             mats[cur] = dict(base_color=(0.8, 0.8, 0.8))
         elif cur and t[0] == "Kd":
             mats[cur]["base_color"] = tuple(float(x) for x in t[1:4])
+        elif cur and t[0] == "map_Kd":
+            img = _load_image(os.path.join(base, t[-1]))
+            if img is not None:
+                mats[cur]["texture"] = img
+                # diffuse map replaces, not tints, the flat color
+                mats[cur]["base_color"] = (1.0, 1.0, 1.0)
         elif cur and t[0] == "Ke":
             mats[cur]["emissive"] = tuple(float(x) for x in t[1:4])
         elif cur and t[0] == "Ns":
@@ -263,18 +283,51 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
             doc = _json.load(f)
     bufs = _gltf_load_buffers(doc, base_dir, glb_bin)
 
+    # image decode (baseColorTexture -> baked page; data URI / bufferView /
+    # external file). Decoded lazily per referenced image only.
+    def gltf_image(tex_idx):
+        try:
+            import io
+            from PIL import Image
+            src = doc["textures"][tex_idx].get("source")
+            img = doc["images"][src]
+            if "bufferView" in img:
+                bv = doc["bufferViews"][img["bufferView"]]
+                raw = bufs[bv.get("buffer", 0)][
+                    bv.get("byteOffset", 0):
+                    bv.get("byteOffset", 0) + bv["byteLength"]]
+            elif img.get("uri", "").startswith("data:"):
+                import base64
+                raw = base64.b64decode(img["uri"].split(",", 1)[1])
+            else:
+                with open(os.path.join(base_dir, img["uri"]), "rb") as f:
+                    raw = f.read()
+            with Image.open(io.BytesIO(raw)) as im:
+                return np.asarray(im.convert(
+                    "RGBA" if "A" in im.getbands() else "RGB"))
+        except Exception:
+            return None
+
     # materials
     mats = []
     for md in doc.get("materials", [{}]):
         pbr = md.get("pbrMetallicRoughness", {})
         base = pbr.get("baseColorFactor", [0.8, 0.8, 0.8, 1.0])
         alpha_mask = md.get("alphaMode", "OPAQUE") == "MASK"
-        mats.append(dict(
+        entry = dict(
             base_color=tuple(base[:3]), roughness=pbr.get("roughnessFactor", 0.7),
             emissive=tuple(md.get("emissiveFactor", (0.0, 0.0, 0.0))),
             double_sided=bool(md.get("doubleSided", False)),
             alpha_mode=1 if alpha_mask else 0,
-            opacity=float(base[3]) if alpha_mask else 1.0))
+            opacity=float(base[3]) if alpha_mask else 1.0)
+        if "baseColorTexture" in pbr:
+            img = gltf_image(pbr["baseColorTexture"].get("index", 0))
+            if img is not None:
+                entry["texture"] = img
+                # spec default baseColorFactor is [1,1,1,1]: factor tints map
+                entry["base_color"] = tuple(
+                    pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3])
+        mats.append(entry)
     if not doc.get("materials"):
         mats = [dict(base_color=(0.8, 0.8, 0.8))]
 
@@ -292,6 +345,7 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
         walk(root, np.eye(4, dtype=np.float32))
 
     tris, norms, uvs, mids, nodes = [], [], [], [], []
+    sk_j, sk_w = [], []
     for nidx, m in world.items():
         node = doc["nodes"][nidx]
         if "mesh" not in node:
@@ -322,6 +376,16 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
                 uvs.append(None)
             mids.append(np.full(len(idx), prim.get("material", 0), np.int32))
             nodes.append(np.full(len(idx), nidx, np.int32))
+            # skinning attributes (JOINTS_0/WEIGHTS_0 -> Skinning.slang LBS)
+            if "JOINTS_0" in prim["attributes"] \
+                    and "WEIGHTS_0" in prim["attributes"]:
+                jnts = _gltf_accessor(doc, bufs, prim["attributes"]["JOINTS_0"])
+                wts = _gltf_accessor(doc, bufs, prim["attributes"]["WEIGHTS_0"])
+                sk_j.append(jnts.astype(np.int32).reshape(-1, 4)[idx])
+                sk_w.append(wts.astype(np.float32).reshape(-1, 4)[idx])
+            else:
+                sk_j.append(np.zeros((len(idx), 3, 4), np.int32))
+                sk_w.append(np.zeros((len(idx), 3, 4), np.float32))
 
     if not tris:
         raise ValueError(f"no triangle geometry in {path}")
@@ -337,6 +401,10 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
                  if any(u is not None for u in uvs) else None)
     material_id = np.concatenate(mids)
     node_id = np.concatenate(nodes)
+    skin_joints = skin_weights = None
+    if any(w.any() for w in sk_w):
+        skin_joints = np.concatenate(sk_j)
+        skin_weights = np.concatenate(sk_w)
 
     # punctual lights extension
     lights = []
@@ -351,10 +419,211 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
             lights.append(dict(type="point", position=(0, 3, 0),
                                intensity=tuple(c)))
 
+    # textured hashed-alpha -> baked per-triangle coverage bitmaps
+    # (traversal-side half lives in the ray kernels; textures.py)
+    tri_alpha_mask = None
+    for mi, md in enumerate(mats):
+        tex = md.get("texture")
+        if md.get("alpha_mode") == 1 and tex is not None \
+                and tex.ndim == 3 and tex.shape[-1] == 4 \
+                and texcoords is not None:
+            from .textures import bake_alpha_bitmap
+            if tri_alpha_mask is None:
+                tri_alpha_mask = np.full(len(positions), 0xFFFF, np.int32)
+            sel = material_id == mi
+            tri_alpha_mask[sel] = bake_alpha_bitmap(
+                tex[..., 3].astype(np.float32) / 255.0, texcoords[sel])
+
     name = os.path.splitext(os.path.basename(path))[0]
     return make_scene(name, positions, normals=normals, texcoords=texcoords,
                       material_id=material_id, materials=mats,
-                      lights=lights or None, camera=camera, node_id=node_id)
+                      lights=lights or None, camera=camera, node_id=node_id,
+                      tri_alpha_mask=tri_alpha_mask,
+                      skin_joints=skin_joints, skin_weights=skin_weights)
+
+
+def import_pbrt(path, camera: Camera | None = None) -> Scene:
+    """pbrt-v4 scene subset (reference plugins/importers/PBRTImporter/ —
+    a full pbrt parser; here the practically-used subset: LookAt,
+    Shape "trianglemesh" with "point3 P"/"integer indices"/"point2 uv",
+    Translate, "diffuse" material reflectance, "distant"/"point"
+    LightSource, AttributeBegin/End transform scoping)."""
+    import re as _re
+
+    toks = []
+    for line in open(path):
+        line = line.split("#", 1)[0]
+        toks += _re.findall(r'"[^"]*"|\[|\]|[^\s\[\]]+', line)
+
+    i = 0
+    tris, mids, uvs_all = [], [], []
+    mats = [dict(base_color=(0.8, 0.8, 0.8))]
+    cur_mat = 0
+    lights = []
+    look = None
+    offset = np.zeros(3, np.float32)
+    stack = []
+
+    def read_block(j):
+        """Parse [ ... ] into a float list; returns (values, next_index)."""
+        assert toks[j] == "["
+        vals = []
+        j += 1
+        while toks[j] != "]":
+            vals.append(float(toks[j]))
+            j += 1
+        return vals, j + 1
+
+    def read_params(j):
+        """Read "type name" [ values ] pairs until a non-quoted token."""
+        params = {}
+        while j < len(toks) and toks[j].startswith('"'):
+            key = toks[j].strip('"').split()[-1]
+            j += 1
+            if j < len(toks) and toks[j] == "[":
+                vals, j = read_block(j)
+                params[key] = vals
+            elif j < len(toks):
+                v = toks[j].strip('"')
+                try:
+                    params[key] = [float(v)]
+                except ValueError:
+                    params[key] = [v]
+                j += 1
+        return params, j
+
+    while i < len(toks):
+        t = toks[i]
+        if t == "LookAt":
+            look = [float(x) for x in toks[i + 1:i + 10]]
+            i += 10
+        elif t == "Translate":
+            offset = offset + np.asarray(
+                [float(x) for x in toks[i + 1:i + 4]], np.float32)
+            i += 4
+        elif t == "AttributeBegin":
+            stack.append(offset.copy())
+            i += 1
+        elif t == "AttributeEnd":
+            offset = stack.pop() if stack else np.zeros(3, np.float32)
+            i += 1
+        elif t == "Material" or t == "MakeNamedMaterial":
+            kind = toks[i + 1].strip('"')
+            params, i = read_params(i + 2)
+            refl = params.get("reflectance", [0.8, 0.8, 0.8])
+            mats.append(dict(base_color=tuple(refl[:3]),
+                             roughness=float(params.get(
+                                 "roughness", [0.7])[0])))
+            cur_mat = len(mats) - 1
+        elif t == "LightSource":
+            kind = toks[i + 1].strip('"')
+            params, i = read_params(i + 2)
+            rad = params.get("L", params.get("I", [1.0, 1.0, 1.0]))[:3]
+            if kind == "distant":
+                f = params.get("from", [0, 0, 0])
+                to = params.get("to", [0, -1, 0])
+                d = np.asarray(to, np.float32) - np.asarray(f, np.float32)
+                lights.append(dict(type="directional", direction=tuple(d),
+                                   intensity=tuple(rad)))
+            else:
+                lights.append(dict(type="point",
+                                   position=tuple(params.get(
+                                       "from", [0, 0, 0])[:3]),
+                                   intensity=tuple(rad)))
+        elif t == "Shape":
+            kind = toks[i + 1].strip('"')
+            params, i = read_params(i + 2)
+            if kind == "trianglemesh" and "P" in params and "indices" in params:
+                p = np.asarray(params["P"], np.float32).reshape(-1, 3) + offset
+                idx = np.asarray(params["indices"], np.int64).reshape(-1, 3)
+                tris.append(p[idx])
+                mids.append(np.full(len(idx), cur_mat, np.int32))
+                if "uv" in params:
+                    uv = np.asarray(params["uv"], np.float32).reshape(-1, 2)
+                    uvs_all.append(uv[idx])
+                else:
+                    uvs_all.append(np.zeros((len(idx), 3, 2), np.float32))
+        else:
+            i += 1
+
+    if not tris:
+        raise ValueError(f"no trianglemesh shapes in {path}")
+    if camera is None and look is not None:
+        camera = Camera.create(position=tuple(look[0:3]),
+                               target=tuple(look[3:6]), up=tuple(look[6:9]))
+    name = os.path.splitext(os.path.basename(path))[0]
+    return make_scene(name, np.concatenate(tris),
+                      texcoords=np.concatenate(uvs_all),
+                      material_id=np.concatenate(mids), materials=mats,
+                      lights=lights or None, camera=camera)
+
+
+def import_usda(path, camera: Camera | None = None) -> Scene:
+    """USD text (.usda) subset (reference plugins/importers/USDImporter/):
+    `def Mesh` prims with points/faceVertexIndices/faceVertexCounts,
+    primvars:st texcoords, xformOp:translate, displayColor. Binary .usdc /
+    composition arcs are out of scope (the reference links the USD
+    runtime; no external deps here)."""
+    import re as _re
+    text = open(path).read()
+
+    tris, mids, uvs_all = [], [], []
+    mats = []
+
+    def arr(block, name, pat=r"\(([^)]*)\)"):
+        m = _re.search(name + r"\s*=\s*\[([^\]]*)\]", block, _re.S)
+        if not m:
+            return None
+        tuples = _re.findall(pat, m.group(1))
+        if tuples:
+            return np.asarray([[float(x) for x in t.split(",")]
+                               for t in tuples], np.float32)
+        return np.asarray([float(x) for x in
+                           m.group(1).replace(",", " ").split()], np.float32)
+
+    # iterate over Mesh prims (regex blocks; nesting depth 1 is the subset)
+    for m in _re.finditer(
+            r'def\s+Mesh\s+"[^"]+"[^{]*\{((?:[^{}]|\{[^{}]*\})*)\}', text,
+            _re.S):
+        block = m.group(1)
+        pts = arr(block, r"point3f\[\]\s*points")
+        fvi = arr(block, r"int\[\]\s*faceVertexIndices")
+        fvc = arr(block, r"int\[\]\s*faceVertexCounts")
+        if pts is None or fvi is None or fvc is None:
+            continue
+        tr = _re.search(r"xformOp:translate\s*=\s*\(([^)]*)\)", block)
+        if tr:
+            pts = pts + np.asarray([float(x) for x in tr.group(1).split(",")],
+                                   np.float32)
+        col = _re.search(r"displayColor\s*=\s*\[\(([^)]*)\)\]", block)
+        base = (tuple(float(x) for x in col.group(1).split(","))
+                if col else (0.8, 0.8, 0.8))
+        mats.append(dict(base_color=base))
+        st = arr(block, r"texCoord2f\[\]\s*primvars:st")
+        # fan-triangulate faces
+        fvi = fvi.astype(np.int64)
+        faces = []
+        pos = 0
+        for c in fvc.astype(np.int64):
+            for k in range(1, int(c) - 1):
+                faces.append((fvi[pos], fvi[pos + k], fvi[pos + k + 1]))
+            pos += int(c)
+        faces = np.asarray(faces, np.int64)
+        tris.append(pts[faces])
+        mids.append(np.full(len(faces), len(mats) - 1, np.int32))
+        uvs_all.append(st[faces] if st is not None and len(st) == len(pts)
+                       else np.zeros((len(faces), 3, 2), np.float32))
+
+    if not tris:
+        raise ValueError(f"no Mesh prims found in {path}")
+    name = os.path.splitext(os.path.basename(path))[0]
+    return make_scene(name, np.concatenate(tris),
+                      texcoords=np.concatenate(uvs_all),
+                      material_id=np.concatenate(mids), materials=mats,
+                      lights=[dict(type="directional",
+                                   direction=(0.3, -1.0, -0.4),
+                                   intensity=(2.5, 2.5, 2.5))],
+                      camera=camera)
 
 
 def load_any(path_or_name: str, aspect=1.0) -> Scene:
@@ -366,5 +635,9 @@ def load_any(path_or_name: str, aspect=1.0) -> Scene:
         return import_pyscene(path_or_name)
     if path_or_name.endswith((".gltf", ".glb")):
         return import_gltf(path_or_name)
+    if path_or_name.endswith(".pbrt"):
+        return import_pbrt(path_or_name)
+    if path_or_name.endswith((".usda", ".usd")):
+        return import_usda(path_or_name)
     from .procedural import load_scene
     return load_scene(path_or_name, aspect=aspect)

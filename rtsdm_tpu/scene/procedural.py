@@ -174,6 +174,23 @@ def _tree_patch(rng, n_trees, leaves_per_tree, extent):
     return trunks, leaves, leaf_masks
 
 
+def _box_map_uv(positions, scale=0.25):
+    """Per-triangle box-mapped texcoords [T,3,2]: project each vertex onto
+    the two axes orthogonal to the face normal's dominant axis (the
+    triplanar uv the media scenes' unwraps stand in for)."""
+    e1 = positions[:, 1] - positions[:, 0]
+    e2 = positions[:, 2] - positions[:, 0]
+    n = np.abs(np.cross(e1, e2))
+    axis = np.argmax(n, axis=-1)                        # [T]
+    # uv axes per dominant axis: x->(y,z), y->(x,z), z->(x,y)
+    ua = np.choose(axis, [1, 0, 0])
+    va = np.choose(axis, [2, 2, 1])
+    idx = np.arange(positions.shape[0])
+    u = positions[idx[:, None], np.arange(3)[None, :], ua[:, None]]
+    v = positions[idx[:, None], np.arange(3)[None, :], va[:, None]]
+    return (np.stack([u, v], axis=-1) * scale).astype(np.float32)
+
+
 def _town(name, seed, n_buildings, n_props, extent, aspect, cam_height=1.7,
           columns=0, trees=0, leaves_per_tree=0) -> Scene:
     """Deterministic box-town generator: ground plane + buildings + props
@@ -246,14 +263,23 @@ def _town(name, seed, n_buildings, n_props, extent, aspect, cam_height=1.7,
     positions = np.concatenate(tris, axis=0)
     material_id = np.concatenate(mat_ids, axis=0)
 
+    # textured materials + analytic-sky env map (exercises the texture
+    # system the way the packman media would; scene/textures.py)
+    from .textures import checkerboard, latlong_sky, noise_texture
+    mats[0]["texture"] = checkerboard((0.9, 0.88, 0.85), (0.55, 0.52, 0.5), 16)
+    for i in range(1, 7):  # the building palette gets facade noise
+        mats[i]["texture"] = noise_texture(seed=seed + i, amp=0.35)
+    env = latlong_sky()
+
     cam = Camera.create(position=(-extent * 0.7, cam_height + 2.0, extent * 0.9),
                         target=(0.0, 1.0, 0.0), focal_length=21.0, aspect=aspect,
                         near_z=0.1, far_z=500.0)
     lights = [dict(type="directional", direction=(0.4, -1.0, -0.3),
                    intensity=(3.0, 2.9, 2.7))]
     return make_scene(name, positions, material_id=material_id, materials=mats,
+                      texcoords=_box_map_uv(positions),
                       lights=lights, env_radiance=(0.4, 0.5, 0.7), camera=cam,
-                      tri_alpha_mask=alpha_masks)
+                      tri_alpha_mask=alpha_masks, env_map=env)
 
 
 # Two detail tiers per scene: "small" (the round-1 box-towns; what the CPU

@@ -44,6 +44,10 @@ class Scene:
     # (None for static scenes — an empty pytree leaf)
     node_id: jnp.ndarray         # [T] int32
     prev_positions: jnp.ndarray | None
+    # linear-blend skinning (reference Scene/Animation/Skinning.slang):
+    # up to 4 (joint, weight) influences per vertex; None = unskinned scene
+    skin_joints: jnp.ndarray | None   # [T,3,4] int32
+    skin_weights: jnp.ndarray | None  # [T,3,4] float32
     # materials SoA [M,...]
     mat_base_color: jnp.ndarray    # [M,3]
     mat_roughness: jnp.ndarray     # [M]
@@ -56,8 +60,15 @@ class Scene:
     light_pos: jnp.ndarray         # [L,3]
     light_dir: jnp.ndarray         # [L,3] (directional)
     light_intensity: jnp.ndarray   # [L,3]
-    # constant environment radiance (env-map texture support comes via EnvMapPass)
+    # constant environment radiance (tint; multiplied with env_map if set)
     env_radiance: jnp.ndarray      # [3]
+    # texture system (ref Scene/Material/MaterialSystem.cpp texture handles):
+    # fixed-size page stack + per-material page index; None = untextured
+    # scene. See scene/textures.py for the TPU-native design.
+    tex_pages: jnp.ndarray | None  # [N, PAGE, PAGE, 3] float32
+    mat_tex: jnp.ndarray           # [M] int32 page index, -1 = none
+    # lat-long environment texture (ref Scene/Lights/EnvMap.cpp); None = const
+    env_map: jnp.ndarray | None    # [He, We, 3] float32
     camera: Camera
 
     @property
@@ -77,11 +88,33 @@ class Scene:
     def with_camera(self, camera: Camera) -> "Scene":
         return replace(self, camera=camera)
 
+    def hit_uv(self, tid, p):
+        """Interpolated texcoord at world point ``p`` on triangle ``tid``
+        (barycentrics recovered by the 2x2 normal equations — the ray
+        kernels return (t, tid) only). Shading-pass use only."""
+        safe = jnp.maximum(tid, 0)
+        tri = self.positions[safe]
+        e1 = tri[..., 1, :] - tri[..., 0, :]
+        e2 = tri[..., 2, :] - tri[..., 0, :]
+        dp = p - tri[..., 0, :]
+        d11 = jnp.sum(e1 * e1, -1)
+        d12 = jnp.sum(e1 * e2, -1)
+        d22 = jnp.sum(e2 * e2, -1)
+        r1 = jnp.sum(dp * e1, -1)
+        r2 = jnp.sum(dp * e2, -1)
+        det = jnp.maximum(d11 * d22 - d12 * d12, 1e-12)
+        b1 = (d22 * r1 - d12 * r2) / det
+        b2 = (d11 * r2 - d12 * r1) / det
+        tc = self.texcoords[safe]
+        return (tc[..., 0, :] * (1.0 - b1 - b2)[..., None]
+                + tc[..., 1, :] * b1[..., None] + tc[..., 2, :] * b2[..., None])
+
 
 def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
                materials=None, lights=None, env_radiance=(0.0, 0.0, 0.0),
                camera: Camera | None = None, morton_sort: bool = True,
-               tri_alpha_mask=None, node_id=None) -> Scene:
+               tri_alpha_mask=None, node_id=None, env_map=None,
+               skin_joints=None, skin_weights=None) -> Scene:
     """Assemble a Scene from host data (the SceneBuilder equivalent,
     reference Source/Falcor/Scene/SceneBuilder.h:54).
 
@@ -106,6 +139,9 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
             tri_alpha_mask = np.asarray(tri_alpha_mask, np.int32)[order]
         if node_id is not None:
             node_id = np.asarray(node_id, np.int32)[order]
+        if skin_joints is not None:
+            skin_joints = np.asarray(skin_joints, np.int32)[order]
+            skin_weights = np.asarray(skin_weights, np.float32)[order]
     positions = jnp.asarray(positions, jnp.float32)
     t = positions.shape[0]
     if normals is None:
@@ -132,6 +168,8 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
     dbl = np.zeros((m,), bool)
     amode = np.zeros((m,), np.int32)
     opac = np.ones((m,), np.float32)
+    mtex = np.full((m,), -1, np.int32)
+    tex_images = []
     for i, md in enumerate(materials):
         base[i] = md.get("base_color", (0.8, 0.8, 0.8))
         rough[i] = md.get("roughness", 0.7)
@@ -139,6 +177,11 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
         dbl[i] = md.get("double_sided", False)
         amode[i] = md.get("alpha_mode", ALPHA_MODE_OPAQUE)
         opac[i] = md.get("opacity", 1.0)
+        if md.get("texture") is not None:
+            mtex[i] = len(tex_images)
+            tex_images.append(md["texture"])
+    from .textures import build_texture_pages
+    tex_pages = build_texture_pages(tex_images)
 
     lights = lights if lights is not None else []
     nl = max(len(lights), 1)
@@ -154,6 +197,8 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
 
     if camera is None:
         camera = Camera.create()
+    if env_map is not None and tuple(np.asarray(env_radiance)) == (0.0, 0.0, 0.0):
+        env_radiance = (1.0, 1.0, 1.0)  # tint defaults to identity w/ a map
 
     if tri_alpha_mask is None:
         # constant-opacity materials: all-ones when opacity >= 0.5 (opaque
@@ -170,11 +215,20 @@ def make_scene(name, positions, normals=None, texcoords=None, material_id=None,
         positions=positions, normals=normals, texcoords=texcoords,
         material_id=material_id, tri_alpha_mask=tri_alpha_mask,
         node_id=node_id, prev_positions=None,
+        skin_joints=(None if skin_joints is None
+                     else jnp.asarray(skin_joints, jnp.int32)),
+        skin_weights=(None if skin_weights is None
+                      else jnp.asarray(skin_weights, jnp.float32)),
         mat_base_color=jnp.asarray(base), mat_roughness=jnp.asarray(rough),
         mat_emissive=jnp.asarray(emis), mat_double_sided=jnp.asarray(dbl),
         mat_alpha_mode=jnp.asarray(amode), mat_opacity=jnp.asarray(opac),
         light_type=jnp.asarray(ltype), light_pos=jnp.asarray(lpos),
         light_dir=jnp.asarray(ldir), light_intensity=jnp.asarray(lint),
         env_radiance=jnp.asarray(env_radiance, jnp.float32),
+        tex_pages=(None if tex_pages is None
+                   else jnp.asarray(tex_pages, jnp.float32)),
+        mat_tex=jnp.asarray(mtex),
+        env_map=(None if env_map is None
+                 else jnp.asarray(env_map, jnp.float32)),
         camera=camera,
     )

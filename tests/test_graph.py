@@ -250,3 +250,65 @@ def test_geometry_animation_and_temporal_stability():
             moved_mvec = max(moved_mvec,
                              float(jnp.abs(g["mvec"]).max()))
     assert moved_mvec > 1e-4, "animated block produced no motion vectors"
+
+
+def test_bsdf_viewer_modes():
+    """BSDFViewer slice + sphere modes (ref BSDFViewer.cs.slang:72-160):
+    energy is finite, slice is zero outside the valid hemisphere, the lit
+    sphere is brighter on the lit side."""
+    import jax.numpy as jnp
+    from rtsdm_tpu.passes.bsdf_viewer import BSDFViewer
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    ctx = RenderContext(width=64, height=64, scene=scene, dictionary={})
+    for mode in ("Slice", "Sphere"):
+        p = BSDFViewer({"viewerMode": mode, "materialID": 0})
+        p.set_scene(scene)
+        out, _ = p.execute(ctx, {})
+        img = out["output"]
+        assert img.shape == (64, 64, 3)
+        assert bool(jnp.isfinite(img).all())
+        assert float(img.max()) > 0.0
+    # lit sphere: light from upper-left-ish -> left half brighter than right
+    p = BSDFViewer({"viewerMode": "Sphere", "lightDir": (0.7, 0.0, -0.7)})
+    p.set_scene(scene)
+    out, _ = p.execute(ctx, {})
+    img = out["output"]
+    left = float(img[:, :24].mean())
+    right = float(img[:, 40:].mean())
+    # lightDir points toward +x => wi = -lightDir => the -x (left) side is lit
+    assert left > right
+
+
+def test_skinned_controller_blends_vertices():
+    """Linear-blend skinning (ref Scene/Animation/Skinning.slang): a
+    two-joint bar where joint 1 translates upward — fully joint-1 vertices
+    follow, fully joint-0 vertices stay, mixed weights interpolate."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.scene.animation import NodeTrack, SkinnedController
+    from rtsdm_tpu.scene.scene import make_scene
+
+    # one triangle, one vertex per weight case
+    pos = np.asarray([[[0, 0, 0], [1, 0, 0], [0.5, 1, 0]]], np.float32)
+    joints = np.zeros((1, 3, 4), np.int32)
+    joints[0, :, 1] = 1
+    weights = np.zeros((1, 3, 4), np.float32)
+    weights[0, 0, 0] = 1.0            # vertex 0: all joint 0 (static)
+    weights[0, 1, 1] = 1.0            # vertex 1: all joint 1
+    weights[0, 2, 0] = 0.5            # vertex 2: 50/50
+    weights[0, 2, 1] = 0.5
+    scene = make_scene("skin", pos, skin_joints=joints, skin_weights=weights,
+                       morton_sort=False)
+
+    track = NodeTrack([dict(time=0.0, translation=(0, 0, 0)),
+                       dict(time=1.0, translation=(0, 2.0, 0))])
+    ctrl = SkinnedController({1: track}, bind_inv=np.tile(np.eye(4), (2, 1, 1)))
+    # sample mid-track (t=1.0 wraps to 0 on looping tracks): joint 1 at +1y
+    out = ctrl.animate(scene, 0.5)
+    p = np.asarray(out.positions)[0]
+    np.testing.assert_allclose(p[0], [0, 0, 0], atol=1e-5)      # static
+    np.testing.assert_allclose(p[1], [1, 1.0, 0], atol=1e-5)    # full joint 1
+    np.testing.assert_allclose(p[2], [0.5, 1.5, 0], atol=1e-5)  # 50/50 blend

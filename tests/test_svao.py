@@ -290,3 +290,26 @@ def test_foliage_scene_sd_differs_with_alpha_test():
     hits_on = (d_on < 1.0).sum()
     hits_off = (d_off < 1.0).sum()
     assert hits_on < hits_off
+
+
+def test_interval_query_ray_blocking_bitexact():
+    """vao_interval_query's blocked path (ray_block < r, the 1080p OOM fix)
+    must match the single-shot path bit-exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.ops import rt
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    rng = np.random.default_rng(11)
+    r = 103  # not a multiple of the block size -> exercises padding
+    o = jnp.asarray(rng.uniform(-1, 1, (r, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmin = jnp.full((r,), 1e-3)
+    tmax = jnp.full((r,), 10.0)
+    ts = jnp.full((r,), 0.5)
+    a = rt.vao_interval_query(scene, o, d, tmin, tmax, ts)
+    b = rt.vao_interval_query(scene, o, d, tmin, tmax, ts, ray_block=32)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

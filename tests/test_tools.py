@@ -137,3 +137,78 @@ def test_gltf_importer_roundtrip(tmp_path):
     # dispatch through load_any
     scene2 = load_any(str(p))
     assert scene2.num_triangles == 2
+
+
+def test_pbrt_importer(tmp_path):
+    """pbrt-v4 subset importer (ref plugins/importers/PBRTImporter/)."""
+    import numpy as np
+    from rtsdm_tpu.scene.importers import import_pbrt
+    p = tmp_path / "scene.pbrt"
+    p.write_text("""
+# test scene
+LookAt 0 1 5  0 1 0  0 1 0
+WorldBegin
+LightSource "distant" "rgb L" [3 3 2.7] "point3 from" [0 5 2] "point3 to" [0 0 0]
+Material "diffuse" "rgb reflectance" [0.6 0.2 0.2]
+Shape "trianglemesh"
+  "point3 P" [ -1 0 0  1 0 0  0 2 0  2 0 0 ]
+  "integer indices" [ 0 1 2  1 3 2 ]
+  "point2 uv" [ 0 0  1 0  0.5 1  2 0 ]
+AttributeBegin
+  Translate 0 0 -3
+  Material "diffuse" "rgb reflectance" [0.2 0.6 0.2]
+  Shape "trianglemesh"
+    "point3 P" [ -5 0 0  5 0 0  0 0 -5 ]
+    "integer indices" [ 0 1 2 ]
+AttributeEnd
+""")
+    s = import_pbrt(str(p))
+    assert s.num_triangles == 3
+    pos = np.asarray(s.positions)
+    # the translated triangle sits at z = -3..-8
+    assert pos[..., 2].min() == -8.0
+    assert np.asarray(s.camera.pos_w)[2] == 5.0
+    assert int(s.num_lights) == 1 and int(s.light_type[0]) == 1
+    # two materials + default
+    assert np.asarray(s.mat_base_color).shape[0] == 3
+
+
+def test_usda_importer(tmp_path):
+    """USD text subset importer (ref plugins/importers/USDImporter/)."""
+    import numpy as np
+    from rtsdm_tpu.scene.importers import import_usda
+    p = tmp_path / "scene.usda"
+    p.write_text('''#usda 1.0
+def Xform "root"
+{
+    def Mesh "quad"
+    {
+        point3f[] points = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
+        int[] faceVertexIndices = [0, 1, 2, 3]
+        int[] faceVertexCounts = [4]
+        color3f[] primvars:displayColor = [(0.1, 0.4, 0.8)]
+        double3 xformOp:translate = (0, 2, 0)
+    }
+    def Mesh "tri"
+    {
+        point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+        int[] faceVertexIndices = [0, 1, 2]
+        int[] faceVertexCounts = [3]
+    }
+}
+''')
+    s = import_usda(str(p))
+    assert s.num_triangles == 3  # quad fan-triangulates to 2 + 1
+    pos = np.asarray(s.positions)
+    assert pos[..., 1].max() == 2.0  # translate applied
+    cols = np.asarray(s.mat_base_color)
+    assert any(np.allclose(c, (0.1, 0.4, 0.8)) for c in cols)
+
+
+def test_load_any_dispatch_new_formats(tmp_path):
+    from rtsdm_tpu.scene.importers import load_any
+    import pytest as _pt
+    with _pt.raises((ValueError, FileNotFoundError, OSError)):
+        load_any(str(tmp_path / "missing.pbrt"))
+    with _pt.raises((ValueError, FileNotFoundError, OSError)):
+        load_any(str(tmp_path / "missing.usda"))
