@@ -186,28 +186,45 @@ def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw,
     class-c pixel (full-res 4q + c) with static offset d, the SD texel is
     floor((4q + c + d)/div) + guard = (4/div) q + floor((c+d)/div) + guard —
     a static STRIDED slice of the guard-banded SD map [sdH, sdW, k] (the
-    guard band doubles as slice padding). Returns sd_planes [16, qh, qw, k]."""
+    guard band doubles as slice padding).
+
+    Layout: the k slot dim moves to the FRONT for the whole computation —
+    a [qh, qw, k] minor-dim-4 tensor occupies only 4 of the 128 VPU lanes
+    per tile (32x waste); planar [k, qh, qw] keeps qw on the lanes
+    (CLAUDE.md planar rule). Returns sd_planes [16, k, qh, qw]."""
     assert divisor in (1, 2, 4)
     stride = 4 // divisor
     k = sd_map.shape[-1]
     sd_h, sd_w = sd_map.shape[:2]
-    sd_map = jax.lax.optimization_barrier(sd_map)
+    sd_pl = jnp.moveaxis(sd_map, -1, 0)                 # [k, sdH, sdW]
+    sd_pl = jax.lax.optimization_barrier(sd_pl)
     lvl_planes = jax.lax.optimization_barrier(lvl_planes)
     sd_planes = []
     for c in range(16):
         cy, cx = c // 4, c % 4
         lvl = lvl_planes[c]
-        acc = jnp.zeros((qh, qw, k))
+        # consecutive radius levels frequently land on the SAME SD texel
+        # offset after the /divisor floor — group them into contiguous level
+        # RANGES so the select chain reads ~2x fewer slices (measured 1.86x
+        # at divisor 4; the range mask is two compares)
+        groups = []  # (lo_level, hi_level, qdy, qdx)
         for l, (dy, dx) in enumerate(offs_i[c]):
             qdy = (cy + dy) // divisor + guard
             qdx = (cx + dx) // divisor + guard
+            if groups and groups[-1][2] == qdy and groups[-1][3] == qdx:
+                groups[-1] = (groups[-1][0], l, qdy, qdx)
+            else:
+                groups.append((l, l, qdy, qdx))
+        acc = jnp.zeros((k, qh, qw))
+        for lo, hi, qdy, qdx in groups:
             y0 = max(0, min(qdy, sd_h - 1 - (qh - 1) * stride))
             x0 = max(0, min(qdx, sd_w - 1 - (qw - 1) * stride))
-            sl = jax.lax.slice(sd_map, (y0, x0, 0),
-                               (y0 + (qh - 1) * stride + 1,
-                                x0 + (qw - 1) * stride + 1, k),
-                               (stride, stride, 1))
-            acc = jnp.where((lvl == l)[..., None], sl, acc)
+            sl = jax.lax.slice(sd_pl, (0, y0, x0),
+                               (k, y0 + (qh - 1) * stride + 1,
+                                x0 + (qw - 1) * stride + 1),
+                               (1, stride, stride))
+            m = (lvl == lo) if lo == hi else ((lvl >= lo) & (lvl <= hi))
+            acc = jnp.where(m[None], sl, acc)
         sd_planes.append(acc)
     return jnp.stack(sd_planes)
 

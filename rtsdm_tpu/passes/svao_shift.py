@@ -41,6 +41,49 @@ def _uv_to_view(sx, sy, ux, uy, z):
     return vx, vy, -z
 
 
+def _sample_coeffs(b, ux, uy):
+    """Depth-affine sample-point coefficients at sample uv (ux, uy).
+
+    The view-space point is v(z) = (cx z, cy z, -z) with cx/cy per-pixel
+    constants, so everything the kernels need is affine/quadratic in the
+    fetched depth z — evaluating k depth layers then costs ~2 FLOPs each
+    instead of a full UVToViewSpace + dot-products chain:
+
+      oz      = (v - p) . a      = z * oz_a + pos_len       (a = -p/|p|)
+      |v - p|^2                  = z^2 * qa + z * qb + |p|^2
+      n . (v - p)                = z * na - n . p
+
+    Returns dict(oz_a, qa, qb, na, np_).
+    """
+    cx = (2.0 * ux - 1.0) * b["sx"]
+    cy = (1.0 - 2.0 * uy) * b["sy"]
+    ax, ay, az = b["a"]
+    nx, ny, nz = b["n"]
+    px, py, pz = b["px"], b["py"], b["pz"]
+    oz_a = cx * ax + cy * ay - az
+    qa = cx * cx + cy * cy + 1.0
+    qb = -2.0 * (cx * px + cy * py - pz)
+    na = nx * cx + ny * cy - nz
+    np_ = nx * px + ny * py + nz * pz
+    return dict(oz_a=oz_a, qa=qa, qb=qb, na=na, np_=np_)
+
+
+def _eval_depth_affine(cfg, b, co, z, s_start, s_end, pdf):
+    """(vis, oz) at fetched depth plane ``z`` via the affine coefficients
+    (exact rewrite of UVToViewSpace + calcVisibility/HBAOKernel)."""
+    oz = z * co["oz_a"] + b["pos_len"]
+    if cfg.kernel == AO_KERNEL_VAO:
+        vis = _visibility_vao(cfg, oz, s_start, s_end, pdf, b["radius"])
+    else:
+        vv = jnp.maximum((z * co["qa"] + co["qb"]) * z
+                         + b["pos_len"] * b["pos_len"], 1e-12)
+        ndotv = (z * co["na"] - co["np_"]) / jnp.sqrt(vv)
+        angle = jnp.clip(ndotv - 0.1, 0.0, 1.0)
+        dist = jnp.clip(1.0 - vv / (cfg.radius * cfg.radius), 0.0, 1.0)
+        vis = jnp.clip(angle * dist / pdf, 0.0, 1.0)
+    return vis, oz
+
+
 def _prep_planar(cam, cfg, depth, normal_v, y_origin: int = 0):
     """basic_init (Common.slang:271-324), planar.
 
@@ -168,16 +211,12 @@ def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
     valid = (sphere_h - s_end) / (2.0 * sphere_h) > 0.1
     sample_len = jnp.sqrt(b["pos_len"] ** 2 + r_disc ** 2)
 
+    co = _sample_coeffs(b, uqx, uqy)
+
     def eval_layer(d_tex):
-        """addSample from a fetched depth plane (Common.slang:463-505)."""
-        vx, vy, vz = _uv_to_view(b["sx"], b["sy"], uqx, uqy, d_tex)
-        ax, ay, az = b["a"]
-        oz = (vx - b["px"]) * ax + (vy - b["py"]) * ay + (vz - b["pz"]) * az
-        if cfg.kernel == AO_KERNEL_VAO:
-            vis = _visibility_vao(cfg, oz, sphere_h, s_end, pdf, b["radius"])
-        else:
-            vis = _hbao_vis(cfg, b, vx, vy, vz, pdf)
-        return vis, oz
+        """addSample from a fetched depth plane (Common.slang:463-505) —
+        affine-in-depth form (see _sample_coeffs)."""
+        return _eval_depth_affine(cfg, b, co, d_tex, sphere_h, s_end, pdf)
 
     vis, oz = eval_layer(fetched)
     vis2 = oz2 = None
@@ -384,25 +423,26 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
         oz = jnp.where(s["in_screen"], s["oz"], A.FLT_MAX)
 
         sd_p = S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g, qh, qw,
-                                    divisor)
-        sd_vals = S.interleave(sd_p, hp, wp)       # [hp, wp, k]
+                                    divisor)        # [16, k, qh, qw] planar
+        sd_layers = [S.interleave(sd_p[:, kk], hp, wp) for kk in range(k)]
         # sd sample uv (Common.slang:569): texel + jitter over lowRes
         tex_x = jnp.floor((xg + s["off_x"]) / float(divisor))
         tex_y = jnp.floor((yg + s["off_y"]) / float(divisor))
         suv_x = (tex_x + jit_x) / low_w
         suv_y = (tex_y + jit_y) / low_h
 
-        ax, ay, az = b["a"]
+        # all k SD layers evaluate through the depth-affine coefficients at
+        # the (per-direction) SD sample uv: ~12 ops per layer instead of a
+        # full UVToViewSpace + dot-product chain (see _sample_coeffs)
+        co_sd = _sample_coeffs(b, suv_x, suv_y)
         for kk in range(k):
-            lin = sd_vals[..., kk] * depth_range + cam.near_z
-            vx, vy, vz = _uv_to_view(b["sx"], b["sy"], suv_x, suv_y, lin)
-            oz_k = (vx - b["px"]) * ax + (vy - b["py"]) * ay + (vz - b["pz"]) * az
+            lin = sd_layers[kk] * depth_range + cam.near_z
+            v_k, oz_k = _eval_depth_affine(cfg, b, co_sd, lin,
+                                           s["sphere_start"], s["sphere_end"],
+                                           s["pdf"])
             if cfg.kernel == AO_KERNEL_VAO:
-                v_k = _visibility_vao(cfg, oz_k, s["sphere_start"],
-                                      s["sphere_end"], s["pdf"], b["radius"])
                 vis = jnp.minimum(vis, v_k)
             else:
-                v_k = _hbao_vis(cfg, b, vx, vy, vz, s["pdf"])
                 vis = jnp.maximum(vis, v_k)
             oz = jnp.minimum(oz, oz_k)
         delta = delta + jnp.where(bit, vis - old_vis, 0.0)
