@@ -313,3 +313,66 @@ def test_interval_query_ray_blocking_bitexact():
     b = rt.vao_interval_query(scene, o, d, tmin, tmax, ts, ray_block=32)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_downsample_linear_matches_bilinear():
+    """The strided-slice SD depth downsample must equal the bilinear-sampler
+    path on the regular grid (divisor 1/2/4) — the gather-free fast path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.passes.stochastic_depth import (_bilinear_sample,
+                                                   _downsample_linear)
+    rng = np.random.default_rng(3)
+    for d in (1, 2, 4):
+        tex = jnp.asarray(rng.random((48, 64), np.float32))
+        dw, dh = 64 // d, 48 // d
+        sx, sy = jnp.meshgrid(jnp.arange(dw), jnp.arange(dh), indexing="xy")
+        uv = jnp.stack([(sx + 0.5) / dw, (sy + 0.5) / dh], -1)
+        ref = _bilinear_sample(tex, uv.astype(jnp.float32))
+        fast = _downsample_linear(tex, d, dw, dh)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-6)
+
+
+def test_chunk_list_topk_matches_scatter():
+    """build_chunk_lists' scatter-free top_k compaction (large n_chunks)
+    must produce the same (lists[:count], count) as the exact scatter path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.ops import rt_pallas as rp
+
+    rng = np.random.default_rng(9)
+    n_chunks = rp.LIST_CAP * 2 + 64      # forces the top_k path
+    centers = rng.uniform(-50, 50, (n_chunks, 3)).astype(np.float32)
+    half = rng.uniform(0.1, 0.5, (n_chunks, 3)).astype(np.float32)
+    aabb = jnp.asarray(np.concatenate([
+        (centers - half).T, (centers + half).T,
+        np.zeros((2, n_chunks), np.float32)], axis=0))
+
+    r = rp.RB * 3
+    # clustered ray blocks with short segments -> realistic sparse lists
+    base = rng.uniform(-40, 40, (3, 1, 3))
+    o = jnp.asarray((base + rng.uniform(-2, 2, (3, rp.RB, 3)))
+                    .reshape(r, 3).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmin = jnp.full((r,), 0.1)
+    tmax = jnp.full((r,), 3.0)
+
+    lists_fast, counts_fast = rp.build_chunk_lists(aabb, o, d, tmin, tmax)
+
+    # exact reference: the scatter path (force by monkeypatching the cap)
+    orig = rp.LIST_CAP
+    try:
+        rp.LIST_CAP = n_chunks  # n_chunks <= 2*cap -> scatter branch
+        lists_ref, counts_ref = rp.build_chunk_lists(aabb, o, d, tmin, tmax)
+    finally:
+        rp.LIST_CAP = orig
+
+    cf = np.asarray(counts_fast)
+    cr = np.asarray(counts_ref)
+    assert (cr <= orig).all(), "test scene exceeds LIST_CAP; shrink boxes"
+    np.testing.assert_array_equal(cf, cr)
+    lf, lr = np.asarray(lists_fast), np.asarray(lists_ref)
+    for b in range(len(cf)):
+        np.testing.assert_array_equal(lf[b, :cf[b]], lr[b, :cr[b]])
