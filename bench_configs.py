@@ -56,7 +56,9 @@ def run_config(c, frames=5):
         sel = np.argsort(cent[:, 1])[-len(cent) // 50:]  # top 2% by height
         node = np.zeros(len(cent), np.int32)
         node[sel] = 1
-        m._scene_comp = replace(m._scene_comp, node_id=jnp.asarray(node))
+        m.scene = replace(m.scene, node_id=jnp.asarray(node))
+        for gr in m.graphs:
+            gr.set_scene(m.scene)
         m.animationController = AnimationController(
             {1: NodeTrack.oscillate((0.0, 1.0, 0.0), amplitude=0.5,
                                     period=4.0)})
@@ -67,18 +69,22 @@ def run_config(c, frames=5):
     t0 = time.perf_counter()
     m.renderFrame()  # compile
     compile_s = time.perf_counter() - t0
+    # steady-state: frames back-to-back, inputs varied per frame (the clock
+    # advances -> traced frame_index/jitter change, defeating the axon
+    # memoization), ONE readback at the end. Per-frame host readbacks add a
+    # noisy ~30-60 ms tunnel stall each and measure the tunnel, not the
+    # frame (CLAUDE.md measurement rules).
     t0 = time.perf_counter()
-    acc = 0.0
+    out = None
     for f in range(frames):
         if not c.get("animate"):
-            # vary inputs per iter: the clock advances the TAA jitter; the
-            # readback defeats the axon memoization (CLAUDE.md)
             m.clock.frame = f + 1
         out = m.renderFrame()
-        acc += float(next(iter(out.values())).sum())
+    acc = float(next(iter(out.values())).sum())
     ms = (time.perf_counter() - t0) / frames * 1e3
     return dict(name=c["name"], frame_ms=round(ms, 2),
                 compile_s=round(compile_s, 1), triangles=tris,
+                readback=round(acc, 2),
                 resolution=f"{c['width']}x{c['height']}", scene=c["scene"])
 
 

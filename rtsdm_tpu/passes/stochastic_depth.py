@@ -106,7 +106,9 @@ class StochasticDepthMapRT(RenderPass):
                   & (signed[..., 1] >= 0) & (signed[..., 1] < dim_h))
         frame_uv = (signed + 0.5) / jnp.asarray([dim_w, dim_h], jnp.float32)
         divisor = inputs["linearZ"].shape[1] // max(dim_w, 1)
-        if divisor in (1, 2, 4) and inputs["linearZ"].shape[1] == dim_w * divisor:
+        if divisor in (1, 2, 4) \
+                and inputs["linearZ"].shape[1] == dim_w * divisor \
+                and inputs["linearZ"].shape[0] == dim_h * divisor:
             # regular-grid fast path: strided-slice average, placed into the
             # guard-banded grid (outside texels take depth 0 either way)
             interior = _downsample_linear(inputs["linearZ"], divisor,
