@@ -70,6 +70,7 @@ class Renderer:
         self._scene_name = None
         self._state = None
         self._frame_fn = None
+        self._scene_comp = None  # guard-band-compensated pristine scene
         self._last_outputs = None
 
     # --- script API -----------------------------------------------------
@@ -166,13 +167,17 @@ class Renderer:
             raise RuntimeError("need addGraph + loadScene before renderFrame")
         if self._frame_fn is None:
             self._build_frame_fn()
+        # self._scene_comp stays the PRISTINE (bind-pose) scene: node tracks
+        # carry absolute node-to-world transforms, so each frame re-applies
+        # them to the base soup (applying to last frame's animated soup would
+        # compound transforms every frame — AnimationController::animate in
+        # the reference also transforms from the static bind pose).
         scene = self._scene_comp
         if self.animationController is not None:
             # geometry animation: animated vertex soup + prev positions for
             # object motion vectors (same pytree structure after the first
             # frame -> no recompile beyond the one-time prev_positions add)
             scene = self.animationController.animate(scene, self.clock.time)
-            self._scene_comp = scene
         if self.cameraPath is not None:
             # animate the camera (same pytree structure -> no recompile)
             base = self._scene_comp.camera
@@ -180,7 +185,7 @@ class Renderer:
                                             dt=1.0 / self.clock.framerate,
                                             aspect=float(base.aspect),
                                             focal=float(base.focal_length))
-            scene = self._scene_comp.with_camera(cam)
+            scene = scene.with_camera(cam)
         import time as _time
         t0 = _time.perf_counter()
         with self.profiler.event("renderFrame"):

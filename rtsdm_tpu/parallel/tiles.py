@@ -292,12 +292,14 @@ def make_svao_rt_band_renderer(width: int, height: int, n_devices: int,
 
 
 def make_band_renderer(width: int, height: int, n_devices: int,
-                       halo: int = 32, radius: float = 0.2,
+                       radius: float = 0.2,
                        num_directions: int = 8, mesh: Mesh | None = None,
                        max_per_tile: int = 256):
     """Screen-space-only band renderer (no SD trace) — the lightweight
     variant kept for the pure-VAO demo path. Same sharded core as
-    make_svao_rt_band_renderer with the SD stage disabled."""
+    make_svao_rt_band_renderer with the SD stage disabled. The halo is
+    derived internally from the AO sampling reach (a caller-supplied halo
+    was silently ignored before; the parameter is gone)."""
     return make_svao_rt_band_renderer(
         width, height, n_devices, divisor=4, sd_guard=4,
         radius=radius, num_directions=num_directions, mesh=mesh,

@@ -400,6 +400,12 @@ class PathTracer(RenderPass):
                                   bsdf_pdf_prev / jnp.maximum(
                                       bsdf_pdf_prev + pdf_nee, 1e-8))
                 w_mis = jnp.where(is_emissive, w_mis, 1.0)
+            elif use_nee and self._emissive is not None:
+                # NEE on without MIS: NEE already samples these emitters at
+                # full weight, so emissive BSDF-path hits on non-primary
+                # bounces must be dropped (the reference skips them too) —
+                # keeping both double-counts emissive lighting
+                w_mis = jnp.where(bsdf_pdf_prev < 0.0, 1.0, 0.0)
             else:
                 w_mis = jnp.ones((r,))
             radiance = radiance + jnp.where(

@@ -180,8 +180,9 @@ class AnimationController:
         scenes (matrices enter as fresh device constants per frame)."""
         import jax.numpy as jnp
         from ..utils.structs import replace
-        base = scene.positions if scene.prev_positions is None \
-            else scene.positions
+        # `scene` must be the pristine bind-pose scene (mogwai.Renderer keeps
+        # it in _scene_comp); node matrices are absolute, not incremental
+        base = scene.positions
         mats = jnp.asarray(self.node_matrices(time))
         mats_prev = jnp.asarray(self.node_matrices(max(time - self.dt, 0.0)))
 

@@ -364,7 +364,9 @@ def import_gltf(path, camera: Camera | None = None) -> Scene:
             tris.append(pos[idx])
             if "NORMAL" in prim["attributes"]:
                 nrm = _gltf_accessor(doc, bufs, prim["attributes"]["NORMAL"])
-                nrm = nrm.astype(np.float32) @ np.linalg.inv(m[:3, :3]).T
+                # inverse-transpose normal transform in row-vector form:
+                # n' = n @ (M^-1) == ((M^-1)^T @ n^T)^T
+                nrm = nrm.astype(np.float32) @ np.linalg.inv(m[:3, :3])
                 norms.append(nrm[idx])
             else:
                 norms.append(None)

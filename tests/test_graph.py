@@ -312,3 +312,40 @@ def test_skinned_controller_blends_vertices():
     np.testing.assert_allclose(p[0], [0, 0, 0], atol=1e-5)      # static
     np.testing.assert_allclose(p[1], [1, 1.0, 0], atol=1e-5)    # full joint 1
     np.testing.assert_allclose(p[2], [0.5, 1.5, 0], atol=1e-5)  # 50/50 blend
+
+
+def test_renderer_animation_does_not_compound():
+    """ADVICE r2 high: node tracks are ABSOLUTE transforms — rendering N
+    frames of an oscillating track must leave positions equal to animating
+    the pristine scene at the last frame time, not the composition of all
+    intermediate transforms (0.707 drift after 2 frames before the fix)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rtsdm_tpu.mogwai import Renderer, run_script
+    from rtsdm_tpu.scene.animation import AnimationController, NodeTrack
+    from rtsdm_tpu.utils.structs import replace
+
+    m = Renderer(width=32, height=32)
+    run_script("scripts/HBAO.py", m)
+    m.loadScene("CornellBox")
+    node = np.zeros(int(m.scene.num_triangles), np.int32)
+    node[:8] = 1
+    m.scene = replace(m.scene, node_id=jnp.asarray(node))
+    for gr in m.graphs:
+        gr.set_scene(m.scene)
+    ctrl = AnimationController({1: NodeTrack.oscillate((0.0, 1.0, 0.0),
+                                                       amplitude=0.5,
+                                                       period=1.0)})
+    m.animationController = ctrl
+    m.clock.play()
+    pristine = m.scene.positions
+    for _ in range(3):
+        m.renderFrame()
+    # the harness must not have mutated the pristine scene
+    t_last = m.clock.time - 1.0 / m.clock.framerate  # time used by last frame
+    expect = ctrl.animate(m._scene_comp, t_last).positions
+    got = ctrl.animate(m._scene_comp, t_last).positions  # idempotent
+    np.testing.assert_allclose(np.asarray(expect), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(m._scene_comp.positions),
+                               np.asarray(pristine), atol=1e-6,
+                               err_msg="renderFrame mutated the base scene")

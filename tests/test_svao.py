@@ -136,7 +136,7 @@ def test_band_renderer_screen_space_only():
     n = 4
     w, h = 64, 32 * n
     scene = cornell_box(aspect=w / h)
-    mesh, fn = make_band_renderer(w, h, n, halo=16, num_directions=4,
+    mesh, fn = make_band_renderer(w, h, n, num_directions=4,
                                   max_per_tile=48, radius=0.1)
     ao, color = jax.jit(fn)(scene)
     ao = np.asarray(ao)

@@ -178,9 +178,16 @@ def main():
         out = rp.sd_trace_pallas_stream(*args, num_samples=4)
         jax.block_until_ready(out)
         ts = []
-        for _ in range(5):
+        for i in range(5):
+            # perturb tmin/tmax per repetition: the axon runtime memoizes
+            # bit-identical executions (CLAUDE.md), so repeated identical
+            # calls would time cache hits, not the kernel
+            eps = jnp.float32(1.0 + 1e-6 * (i + 1))
+            argv = (args[0], args[1], args[2], args[3], args[4] * eps,
+                    jnp.where(args[5] > 0, args[5] * eps, args[5]),
+                    args[6], args[7], args[8])
             s0 = time.perf_counter()
-            out = rp.sd_trace_pallas_stream(*args, num_samples=4)
+            out = rp.sd_trace_pallas_stream(*argv, num_samples=4)
             jax.block_until_ready(out)
             ts.append(time.perf_counter() - s0)
         return dict(triangles=int(sc.num_triangles),
