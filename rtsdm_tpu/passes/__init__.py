@@ -27,3 +27,4 @@ from . import whitted          # noqa: F401
 from . import svgf             # noqa: F401
 from . import bsdf_viewer      # noqa: F401
 from . import sdf_editor       # noqa: F401
+from . import comparison       # noqa: F401
