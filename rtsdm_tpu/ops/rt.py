@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_CHUNK = 256
 
@@ -214,21 +215,37 @@ def _pack_key_depth(key, d_norm, ok):
 
 @functools.partial(jax.jit,
                    static_argnames=("num_samples", "chunk", "cull",
-                                    "alpha_test", "kbuffer", "normalize"))
+                                    "alpha_test", "kbuffer", "normalize",
+                                    "implementation", "max_count", "alpha"))
 def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
              normalize: bool = True, kbuffer: bool = False,
-             chunk: int = 128, cull: int = CULL_BACK, alpha_test: bool = True):
+             chunk: int = 128, cull: int = CULL_BACK, alpha_test: bool = True,
+             implementation: str = "default", max_count: int | None = None,
+             alpha: float = 0.2):
     """Stochastic depth trace: one ray per SD texel, keep `num_samples` hit
     depths (reference StochasticDepthMapRT rayGen + algorithm(),
-    Common.slangh:102-254).
+    Common.slangh:102-254). Three insertion algorithms:
 
-    Selection is global bottom-k by key:
-      * default reservoir: key = hash(barycentrics) — a uniform random
-        k-subset of all hits in (tmin, tmax), matching the reference's
-        reservoir insertion in distribution (Common.slangh:137-151). The
-        MAX_COUNT traversal cap is a GPU-perf knob with no brute-force
-        equivalent and is intentionally not modeled.
-      * kbuffer: key = depth — the k nearest hits (Common.slangh:211-232).
+      * "default" reservoir: global bottom-k by key = hash(barycentrics) — a
+        uniform random k-subset of the participating hits in (tmin, tmax),
+        matching the reference's streaming reservoir insertion in
+        distribution (Common.slangh:137-151).
+      * "coverage": each hit covers R = floor(alpha*k + rng) stratified
+        slots (mask from the stratified tables, Common.slangh:117-131);
+        slot s keeps the NEAREST depth among hits covering s — the
+        order-independent limit of the reference's per-slot z-test loop
+        (Common.slangh:196-210). Pure per-slot masked min: no bottom-k.
+      * "kbuffer": key = depth — the k nearest hits (Common.slangh:211-232).
+
+    `max_count` models the reference's MAX_COUNT traversal cap
+    (Common.slangh:143, default mMaxCount=8 in StochasticDepthMapRT.h:82):
+    only the first `max_count` face-accepted hits participate. The GPU cap
+    follows the (unordered) BVH traversal; here the canonical order is the
+    morton-sorted chunk/triangle order — equally arbitrary, deterministic,
+    and matching the Pallas kernels' streaming order. Alpha-failed hits
+    still count toward the cap (the reference increments `count` before its
+    alpha test, Common.slangh:139 vs :160). None = uncapped. Coverage mode
+    ignores the cap like the reference does.
 
     Implementation: per triangle chunk, the chunk's k best hits are extracted
     with k (min, mask) passes over packed int32 (key|depth) values and merged
@@ -238,7 +255,11 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
 
     Returns depths [R, num_samples] normalized to [0,1] by near/far when
     `normalize` (Common.slangh:113-115); missing samples hold 1.0 (or far)."""
-    from ..utils.math import hash2
+    from ..utils.math import hash2, hash3
+    from ..utils.sampling import stratified_coverage_tables
+
+    impl = "kbuffer" if kbuffer else implementation
+    cap = None if impl == "coverage" else max_count
 
     tris, n_chunks = _pad_tris(scene.positions, chunk)
     v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
@@ -250,24 +271,54 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
 
     r = origins.shape[0]
     k = num_samples
+    if impl == "coverage":
+        idx_np, lut_np = stratified_coverage_tables(k)
+        cov_indices = jnp.asarray(idx_np.astype(np.int32))
+        cov_lookup = jnp.asarray(lut_np.astype(np.int32))
 
-    def body(packed, idx):
-        # packed: [R, k] int32 reservoir (ascending not required)
+    def body(carry, idx):
+        packed, count = carry  # [R, k] int32 reservoir; [R] hit count
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
         t, valid, front, (u, v) = _mt_intersect(origins, dirs, sl(v0), sl(e1),
                                                 sl(e2), cull)
         in_pad = (idx * chunk + jnp.arange(chunk)) >= t_count
-        ok = valid & _front_accept(scene, sl(tri_ids_all), front, (u, v),
-                                   alpha_test) \
-            & ~in_pad[None, :] & (t > tmin[:, None]) & (t < tmax[:, None])
+        base = valid & ~in_pad[None, :] \
+            & (t > tmin[:, None]) & (t < tmax[:, None])
+        # face-accept WITHOUT alpha (counts toward the cap), then alpha
+        ok_face = base & _front_accept(scene, sl(tri_ids_all), front, (u, v),
+                                       False)
+        ok = ok_face if not alpha_test else \
+            base & _front_accept(scene, sl(tri_ids_all), front, (u, v), True)
+        if cap is not None:
+            ordinal = jnp.cumsum(ok_face.astype(jnp.int32), axis=1) \
+                - ok_face.astype(jnp.int32)  # exclusive, within chunk
+            ok = ok & ((count[:, None] + ordinal) < cap)
+            count = count + jnp.sum(ok_face, axis=1)
         view_z = t * cos_w[:, None]
         d_norm = jnp.clip((view_z - near) / (far - near), 0.0, 1.0)
-        if kbuffer:
+        d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
+        if impl == "coverage":
+            rng = hash2(jnp.stack([u, v], -1))
+            r_cnt = jnp.clip(jnp.floor(alpha * k + rng).astype(jnp.int32),
+                             0, k)
+            rng2 = hash3(jnp.stack([u, v, d_norm], -1))
+            lo = cov_indices[r_cnt]
+            hi = cov_indices[jnp.minimum(r_cnt + 1, k + 1)]
+            sel = lo + (rng2 * (hi - lo).astype(jnp.float32)).astype(jnp.int32)
+            mask = cov_lookup[jnp.clip(sel, 0, cov_lookup.shape[0] - 1)]
+            mask = jnp.where(r_cnt >= k, (1 << k) - 1, mask)
+            pk_d = jnp.where(ok, d16, _SD_INVALID)
+            cols = []
+            for s in range(k):
+                covered = ((mask >> s) & 1) > 0
+                m = jnp.min(jnp.where(covered, pk_d, _SD_INVALID), axis=1)
+                cols.append(jnp.minimum(packed[:, s], m))
+            return (jnp.stack(cols, axis=1), count), None
+        if impl == "kbuffer":
             # depth-major packing with a hash tie-break in the LOW bits:
             # equal quantized depths stay distinct, so coplanar/shared-edge
             # duplicate hits survive the min-extraction like the reference's
             # k-buffer insertion sort keeps them (Common.slangh:211-232)
-            d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
             h15 = jnp.clip((hash2(jnp.stack([u, v], -1))
                             * 32767.0).astype(jnp.int32), 0, 32766)
             pk = jnp.where(ok, d16 * 32768 + h15, _SD_INVALID)
@@ -287,13 +338,17 @@ def sd_trace(scene, origins, dirs, tmin, tmax, *, num_samples: int = 4,
             m = jnp.min(both, axis=1)
             out.append(m)
             both = jnp.where(both == m[:, None], _SD_INVALID, both)
-        return jnp.stack(out, axis=1), None
+        return (jnp.stack(out, axis=1), count), None
 
-    init = jnp.full((r, k), _SD_INVALID, jnp.int32)
-    packed, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    if kbuffer:
+    init = (jnp.full((r, k), _SD_INVALID, jnp.int32),
+            jnp.zeros((r,), jnp.int32))
+    (packed, _), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    if impl == "kbuffer":
         d_norm = jnp.where(packed == _SD_INVALID, 1.0,
                            (packed // 32768).astype(jnp.float32) / 65535.0)
+    elif impl == "coverage":
+        d_norm = jnp.where(packed == _SD_INVALID, 1.0,
+                           packed.astype(jnp.float32) / 65535.0)
     else:
         d_norm = jnp.where(packed == _SD_INVALID, 1.0,
                            (packed % 65536).astype(jnp.float32) / 65535.0)

@@ -31,8 +31,101 @@ RB = 256          # rays per block (sublanes)
 TC = 128          # triangles per chunk (lanes)
 INVALID = 2**31 - 1  # python int: a jnp constant would be captured by the kernel
 
+COVERAGE_MAX_K = 5  # select-chain mask decode bound (2^k selects per chunk)
 
-def _sd_kernel(n_chunks, k, eps_det, cull_back,
+
+def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry):
+    """Shared insertion tail for the SD kernels: fold this chunk's accepted
+    hits into the reservoir carry (reference algorithm(),
+    Common.slangh:102-254; semantics per ops/rt.py:sd_trace).
+
+    carry = (slot_0..slot_{k-1}[, count]) of [RB,1] int32; ok/ok_face/u/v/
+    d_norm are [RB,TC]. Returns the updated carry.
+
+    mode 'default'  — bottom-k by 15-bit barycentric hash key.
+    mode 'kbuffer'  — bottom-k by quantized depth (hash tie-break low bits).
+    mode 'coverage' — per-slot masked min over stratified coverage masks;
+        the mask table lookup is a static select-chain (2^k selects), NOT a
+        per-lane gather — TPU has no hardware gather (CLAUDE.md rule).
+    max_count — cap participation at the first `max_count` face-accepted
+        hits in chunk-stream order (MAX_COUNT, Common.slangh:143); the
+        exclusive per-lane ordinal comes from one [RB,TC]x[TC,TC] MXU
+        matmul against a strictly-lower-triangular constant (the MXU is
+        otherwise idle in this kernel; a lane cumsum has no Mosaic lowering).
+    """
+    slots, count = (carry[:k], carry[k]) if max_count is not None else \
+        (carry, None)
+    if max_count is not None:
+        okf = ok_face.astype(jnp.float32)
+        lt = (jax.lax.broadcasted_iota(jnp.int32, (TC, TC), 0)
+              < jax.lax.broadcasted_iota(jnp.int32, (TC, TC), 1))
+        ordinal = jax.lax.dot(okf, lt.astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST)
+        ok = ok & ((count.astype(jnp.float32) + ordinal)
+                   < jnp.float32(max_count))
+        count = jnp.minimum(
+            count + jnp.sum(okf, axis=1, keepdims=True).astype(jnp.int32),
+            jnp.int32(2**30))
+
+    # integer hash of the barycentrics (replaces the reference's sin-based
+    # hash, Common.slangh:36-39 — same role: a uniform selection key)
+    hb = (u * 8388593.0).astype(jnp.int32) ^ ((v * 4194301.0).astype(jnp.int32) << 7)
+    hb = (hb ^ (hb >> 8)) * jnp.int32(0x9E3779B1 - (1 << 32))
+    hb = hb ^ (hb >> 13)
+    k15 = jnp.abs(hb) % 32767
+    d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
+
+    if mode == "coverage":
+        from ..utils.sampling import stratified_coverage_tables
+        idx_np, lut_np = stratified_coverage_tables(k)
+        rng = k15.astype(jnp.float32) * (1.0 / 32767.0)
+        r_cnt = jnp.clip(jnp.floor(alpha * k + rng).astype(jnp.int32), 0, k)
+        # second hash (rng2 = hash3D(bary, t), Common.slangh:128): remix the
+        # first hash with the quantized depth
+        h2 = (hb ^ (d16 * jnp.int32(0x9E3779B1 - (1 << 32)))) ^ (hb >> 5)
+        h2 = h2 ^ (h2 >> 11)
+        rng2 = (jnp.abs(h2) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
+        # sel = indices[R] + floor(rng2 * group_size)  (static per-R consts)
+        sel = jnp.zeros_like(r_cnt)
+        for rr in range(1, k):
+            lo, hi = int(idx_np[rr]), int(idx_np[rr + 1])
+            sel = jnp.where(r_cnt == rr,
+                            lo + (rng2 * (hi - lo)).astype(jnp.int32), sel)
+        mask = jnp.zeros_like(sel)
+        for i, m in enumerate(int(x) for x in lut_np):
+            mask = jnp.where(sel == i, jnp.int32(m), mask)
+        mask = jnp.where(r_cnt >= k, jnp.int32((1 << k) - 1), mask)
+        mask = jnp.where(r_cnt == 0, jnp.int32(0), mask)
+        pk_d = jnp.where(ok, d16, jnp.int32(INVALID))
+        out = []
+        for s in range(k):
+            covered = ((mask >> s) & 1) > 0
+            m = jnp.min(jnp.where(covered, pk_d, jnp.int32(INVALID)),
+                        axis=1, keepdims=True)
+            out.append(jnp.minimum(slots[s], m))
+    else:
+        if mode == "kbuffer":
+            packed = jnp.where(ok, d16 * 32768 + jnp.minimum(k15, 32766),
+                               jnp.int32(INVALID))
+        else:
+            packed = jnp.where(ok, k15 * 65536 + d16, jnp.int32(INVALID))
+        best = []
+        for _ in range(k):
+            m = jnp.min(packed, axis=1, keepdims=True)
+            best.append(m)
+            packed = jnp.where(packed == m, jnp.int32(INVALID), packed)
+        both = jnp.concatenate(list(slots) + best, axis=1)
+        out = []
+        for _ in range(k):
+            m = jnp.min(both, axis=1, keepdims=True)
+            out.append(m)
+            both = jnp.where(both == m, jnp.int32(INVALID), both)
+    if count is not None:
+        return tuple(out) + (count,)
+    return tuple(out)
+
+
+def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
                aabb_ref,
                v0_ref, e1_ref, e2_ref, flag_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -110,50 +203,35 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back,
         qz = tvx * e1y - tvy * e1x
         v = (dx * qx + dy * qy + dz * qz) * inv
         t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+        ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
             & (t > tmin) & (t < tmax)
         # alpha-coverage test at the hit's barycentric cell (the baked-mask
-        # stand-in for hashed-alpha, see prep_triangles)
+        # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
+        # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
         cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
                 + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
         abit = jax.lax.shift_right_logical(
             jnp.broadcast_to(amask, cell.shape), cell) & 1
-        ok = ok & (abit > 0)
+        ok = ok_face & (abit > 0)
 
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
-        # integer hash of the barycentrics (replaces the reference's
-        # sin-based hash, Common.slangh:36-39 — same role: a uniform
-        # selection key; ~10x cheaper than two sin evaluations per lane)
-        hb = (u * 8388593.0).astype(jnp.int32) ^ ((v * 4194301.0).astype(jnp.int32) << 7)
-        hb = (hb ^ (hb >> 8)) * jnp.int32(0x9E3779B1 - (1 << 32))
-        hb = hb ^ (hb >> 13)
-        k15 = jnp.abs(hb) % 32767
-        d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
-        packed = jnp.where(ok, k15 * 65536 + d16, jnp.int32(INVALID))
-
-        # chunk's k best, then merge into carry
-        best = []
-        for _ in range(k):
-            m = jnp.min(packed, axis=1, keepdims=True)       # [RB,1]
-            best.append(m)
-            packed = jnp.where(packed == m, jnp.int32(INVALID), packed)
-        both = jnp.concatenate(list(carry) + best, axis=1)   # [RB, 2k]
-        out = []
-        for _ in range(k):
-            m = jnp.min(both, axis=1, keepdims=True)
-            out.append(m)
-            both = jnp.where(both == m, jnp.int32(INVALID), both)
-        return tuple(out)
+        return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
+                          d_norm, carry)
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
+    if max_count is not None:
+        init = init + (jnp.zeros((RB, 1), jnp.int32),)
     res = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
     for s in range(k):
         out_refs[s][...] = jnp.reshape(res[s], (1, 1, RB))
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "cull_back"))
+@functools.partial(jax.jit, static_argnames=("num_samples", "cull_back",
+                                             "mode", "max_count", "alpha"))
 def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
-                    near, far, *, num_samples: int = 4, cull_back: bool = True):
+                    near, far, *, num_samples: int = 4, cull_back: bool = True,
+                    mode: str = "default", max_count: int | None = None,
+                    alpha: float = 0.2):
     """v0t/e1t/e2t: [3, Tp] component-major triangle data (Tp % TC == 0);
     flags: [2, Tp] — row 0 >0 accepts back faces (double-sided/alpha-tested,
     SVAO/Common.slang:695), row 1 >0 rejects the triangle entirely
@@ -192,7 +270,8 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
     aabb = jnp.zeros((8, n_chunks))
     aabb = aabb.at[0:3].set(cmin.T).at[3:6].set(cmax.T)
 
-    kernel = functools.partial(_sd_kernel, n_chunks, k, 1e-9, cull_back)
+    kernel = functools.partial(_sd_kernel, n_chunks, k, 1e-9, cull_back,
+                               mode, max_count, alpha)
     aabb_spec = pl.BlockSpec((8, n_chunks), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
@@ -242,6 +321,7 @@ LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
 
 
 def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
+                      mode, max_count, alpha,
                       count_ref, list_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmin_ref, tmax_ref, za_ref, zb_ref,
@@ -295,36 +375,21 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
         qz = tvx * e1y - tvy * e1x
         v = (dx * qx + dy * qy + dz * qz) * inv
         t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+        ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
             & (t > tmin) & (t < tmax)
         cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
                 + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
         abit = jax.lax.shift_right_logical(
             jnp.broadcast_to(amask, cell.shape), cell) & 1
-        ok = ok & (abit > 0)
+        ok = ok_face & (abit > 0)
 
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
-        hb = (u * 8388593.0).astype(jnp.int32) ^ ((v * 4194301.0).astype(jnp.int32) << 7)
-        hb = (hb ^ (hb >> 8)) * jnp.int32(0x9E3779B1 - (1 << 32))
-        hb = hb ^ (hb >> 13)
-        k15 = jnp.abs(hb) % 32767
-        d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
-        packed = jnp.where(ok, k15 * 65536 + d16, jnp.int32(INVALID))
-
-        best = []
-        for _ in range(k):
-            m = jnp.min(packed, axis=1, keepdims=True)
-            best.append(m)
-            packed = jnp.where(packed == m, jnp.int32(INVALID), packed)
-        both = jnp.concatenate(list(carry) + best, axis=1)
-        out = []
-        for _ in range(k):
-            m = jnp.min(both, axis=1, keepdims=True)
-            out.append(m)
-            both = jnp.where(both == m, jnp.int32(INVALID), both)
-        return tuple(out)
+        return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
+                          d_norm, carry)
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
+    if max_count is not None:
+        init = init + (jnp.zeros((RB, 1), jnp.int32),)
 
     # 4-deep DMA pipeline: the 6 KB chunk transfers are latency-bound at
     # 2 slots (math per chunk ~ DMA latency); 3 outstanding prefetches keep
@@ -369,6 +434,29 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
         jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (NSLOT - 1)),
                           drain, 0)
         res = (r0,)
+    elif max_count is not None:
+        # MAX_COUNT early exit — the TPU-native version of the reference's
+        # traversal cap (Common.slangh:143): once every ray in the block has
+        # counted max_count face-accepted hits, further chunks cannot
+        # contribute, so stop streaming. On depth-complex scenes this is a
+        # real bandwidth win (the GPU analogue is AcceptHitAndEndSearch).
+        def c_cond(state):
+            j, carry = state
+            return jnp.logical_and(j < cnt,
+                                   jnp.any(carry[k] < jnp.int32(max_count)))
+
+        def c_body(state):
+            j, carry = state
+            return (j + 1, loop_body(j, carry))
+
+        j_exit, res = jax.lax.while_loop(c_cond, c_body, (0, init))
+
+        def drain2(i, _):
+            get_dma(i % NSLOT, i).wait()
+            return 0
+
+        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (NSLOT - 1)),
+                          drain2, 0)
     else:
         res = jax.lax.fori_loop(0, cnt, loop_body, init)
     for s in range(k):
@@ -465,10 +553,13 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "cull_back",
-                                              "early_exit"))
+                                             "early_exit", "mode",
+                                             "max_count", "alpha"))
 def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                            vz_scale, near, far, *, num_samples: int = 4,
-                           cull_back: bool = True, early_exit: bool = False):
+                           cull_back: bool = True, early_exit: bool = False,
+                           mode: str = "default", max_count: int | None = None,
+                           alpha: float = 0.2):
     """Streaming variant of sd_trace_pallas: tri_packed [n_chunks, PACK_ROWS,
     TC] stays in HBM; each ray block DMA-streams only the chunks whose AABB
     overlaps its segment bundle. Same reservoir semantics and packed-int32
@@ -497,7 +588,7 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
             col(za), col(zb)]
 
     kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back,
-                               early_exit, n_chunks)
+                               early_exit, n_chunks, mode, max_count, alpha)
     count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
     list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
@@ -588,10 +679,18 @@ def prep_triangles(scene, alpha_test: bool = True):
     return v0, e1, e2, flags
 
 
-def decode_packed(packed, near, far, normalize=True):
-    """packed int32 reservoir -> depths (see ops/rt.py packing)."""
-    d = jnp.where(packed == INVALID, 1.0,
-                  (packed % 65536).astype(jnp.float32) / 65535.0)
+def decode_packed(packed, near, far, normalize=True, mode="default"):
+    """packed int32 reservoir -> depths (see ops/rt.py packing; the bit
+    layout depends on the insertion mode)."""
+    if mode == "kbuffer":
+        d = jnp.where(packed == INVALID, 1.0,
+                      (packed // 32768).astype(jnp.float32) / 65535.0)
+    elif mode == "coverage":
+        d = jnp.where(packed == INVALID, 1.0,
+                      packed.astype(jnp.float32) / 65535.0)
+    else:
+        d = jnp.where(packed == INVALID, 1.0,
+                      (packed % 65536).astype(jnp.float32) / 65535.0)
     if normalize:
         return d
     return jnp.where(packed == INVALID, far, d * (far - near) + near)

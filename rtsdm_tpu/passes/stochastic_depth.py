@@ -68,9 +68,9 @@ class StochasticDepthMapRT(RenderPass):
     from the rayMin/rayMax inputs."""
 
     SCHEMA = dict(SampleCount=4, CullMode="Back", AlphaTest=True,
-                  Implementation="default", Alpha=0.375, RayInterval=True,
+                  Implementation="default", Alpha=0.2, RayInterval=True,
                   normalize=True, StoreNormals=False, Jitter=True,
-                  GuardBand=0, MaxCount=4, linearize=False, depthFormat=None,
+                  GuardBand=0, MaxCount=8, linearize=False, depthFormat=None,
                   chunk=128, usePallas=True,
                   # 'auto': stream triangle chunks HBM->VMEM by DMA (the BVH
                   # tier, ops/rt_pallas.sd_trace_pallas_stream) once the scene
@@ -131,10 +131,18 @@ class StochasticDepthMapRT(RenderPass):
         impl = self.cfg["Implementation"]
         if isinstance(impl, int):
             impl = {0: "default", 1: "coverage", 2: "reservoir", 3: "kbuffer"}[impl]
-        use_pallas = (bool(self.cfg["usePallas"]) and impl != "kbuffer"
+        if impl == "reservoir":
+            impl = "default"  # the reference's enum alias
+        mc = self.cfg["MaxCount"]
+        max_count = int(mc) if mc else None  # 0/None = uncapped
+        if impl == "coverage":
+            max_count = None  # coverage ignores MAX_COUNT (Common.slangh:117)
+        alpha = float(self.cfg["Alpha"])
+        from ..ops import rt_pallas as rp
+        use_pallas = (bool(self.cfg["usePallas"])
+                      and not (impl == "coverage" and k > rp.COVERAGE_MAX_K)
                       and jax.devices()[0].platform != "cpu")
         if use_pallas:
-            from ..ops import rt_pallas as rp
             stream = self.cfg["pallasStream"]
             if stream == "auto":
                 stream = ctx.scene.num_triangles > 65536
@@ -154,7 +162,8 @@ class StochasticDepthMapRT(RenderPass):
                     jnp.broadcast_to(origin, (ph * pw, 3)),
                     tf(dirs), tf(tmin), tf(tmax, fill=-1.0), tf(cos_w),
                     cam.near_z, cam.far_z, num_samples=k,
-                    cull_back=(self.cfg["CullMode"] == "Back"))
+                    cull_back=(self.cfg["CullMode"] == "Back"),
+                    mode=impl, max_count=max_count, alpha=alpha)
                 packed = rp.tile_unflatten(packed, ph, pw)[
                     :sd_h, :sd_w].reshape(-1, k)
             else:
@@ -166,15 +175,17 @@ class StochasticDepthMapRT(RenderPass):
                     dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
                     cos_w.reshape(-1), cam.near_z, cam.far_z,
                     num_samples=k,
-                    cull_back=(self.cfg["CullMode"] == "Back"))
+                    cull_back=(self.cfg["CullMode"] == "Back"),
+                    mode=impl, max_count=max_count, alpha=alpha)
             depths = rp.decode_packed(packed, cam.near_z, cam.far_z,
-                                      bool(self.cfg["normalize"]))
+                                      bool(self.cfg["normalize"]), mode=impl)
         else:
             depths = rt.sd_trace(
                 ctx.scene, origin[None, :].repeat(sd_h * sd_w, 0),
                 dirs.reshape(-1, 3), tmin.reshape(-1), tmax.reshape(-1),
                 num_samples=k, normalize=bool(self.cfg["normalize"]),
-                kbuffer=(impl == "kbuffer"), chunk=int(self.cfg["chunk"]),
+                implementation=impl, max_count=max_count, alpha=alpha,
+                chunk=int(self.cfg["chunk"]),
                 cull=rt.CULL_BACK if self.cfg["CullMode"] == "Back" else rt.CULL_NONE,
                 alpha_test=bool(self.cfg["AlphaTest"]))
         return {"stochasticDepth": depths.reshape(sd_h, sd_w, k)}, None

@@ -59,7 +59,7 @@ class SVAO(RenderPass):
         rayPipeline=True, thickness=0.0, stochMapDivisor=4, dualAO=False,
         alphaTest=True,
         # extended knobs (reference UI state, SVAO.h:90-127)
-        sampleCount=8, kernel="VAO", stochSamples=4, stochMaxCount=4,
+        sampleCount=8, kernel="VAO", stochSamples=4, stochMaxCount=8,
         useRayInterval=True, stochMapJitter=True, stochMapGuardBand=512,
         traceOutOfScreen=False, stochasticDepthImpl="Ray", cullMode=None,
         ssRadiusCutoff=6.0, ssMaxRadius=512.0, maxRayBudgetFraction=0.5,

@@ -140,6 +140,41 @@ def main():
             kb_ok = False
     report["checks"]["xla_kbuffer_matches_oracle_nearest_k"] = bool(kb_ok)
 
+    # ---- 1b. insertion-algorithm matrix (VERDICT r2 item 5) ----------------
+    # Deterministic modes must match the XLA tier EXACTLY (same canonical
+    # chunk order): kbuffer, kbuffer+cap, default+cap<=k. Coverage is
+    # hash-dependent per tier; its structural tests live in
+    # tests/test_sd_insertion.py and the endpoint (alpha=1 -> k nearest-1)
+    # is checked here.
+    log("insertion modes")
+    for mode, mc, key in [("kbuffer", None, "mode_kbuffer_exact"),
+                          ("kbuffer", 3, "mode_kbuffer_cap_exact"),
+                          ("default", 3, "mode_default_cap_exact")]:
+        d_x = np.sort(np.asarray(rt.sd_trace(
+            scene, origins, dirs, tmin, tmax, num_samples=k,
+            implementation=mode, max_count=mc, cull=rt.CULL_BACK)), 1)
+        ok_mode = True
+        for fn, args in ((rp.sd_trace_pallas, (v0t, e1t, e2t, flags)),
+                         (rp.sd_trace_pallas_stream, (tri_packed, aabb))):
+            d_p = np.sort(np.asarray(rp.decode_packed(
+                fn(*args, origins, dirs, tmin, tmax, cosw, cam.near_z,
+                   cam.far_z, num_samples=k, mode=mode, max_count=mc),
+                cam.near_z, cam.far_z, mode=mode)), 1)
+            if not np.allclose(d_x, d_p, atol=2.0 / 65535.0):
+                ok_mode = False
+        report["checks"][key] = bool(ok_mode)
+    cov = np.asarray(rp.decode_packed(
+        rp.sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax,
+                           cosw, cam.near_z, cam.far_z, num_samples=k,
+                           mode="coverage", alpha=1.0),
+        cam.near_z, cam.far_z, mode="coverage"))
+    kb1 = np.sort(np.asarray(rt.sd_trace(
+        scene, origins, dirs, tmin, tmax, num_samples=k,
+        implementation="kbuffer", cull=rt.CULL_BACK)), 1)[:, 0]
+    # alpha=1 -> every slot z-tests every hit -> all slots = nearest hit
+    cov_ok = np.allclose(cov, kb1[:, None], atol=2.0 / 65535.0)
+    report["checks"]["mode_coverage_alpha1_is_nearest"] = bool(cov_ok)
+
     # ---- 2. scaling on reference-scale scenes ------------------------------
     def bench_scene(name):
         log(f"scaling: {name} (scene gen)")
