@@ -75,6 +75,13 @@ class RayShadow(RenderPass):
         h, w = valid.shape
         n_lights = min(int(scene.num_lights), int(self.cfg["maxLights"]))
 
+        # scene AABB for shadow-segment clipping (a directional-light ray
+        # otherwise carries tmax=far_z: its segment AABB spans the frustum,
+        # overlaps every chunk, and the streaming kernel degrades to a
+        # whole-scene walk per block — measured 15 s/frame at SunTemple-full)
+        smin = jnp.min(scene.positions.reshape(-1, 3), axis=0)
+        smax = jnp.max(scene.positions.reshape(-1, 3), axis=0)
+
         vis_slices = []
         for li in range(n_lights):
             is_dir = scene.light_type[li] == LIGHT_DIRECTIONAL
@@ -83,6 +90,17 @@ class RayShadow(RenderPass):
             dist = jnp.linalg.norm(scene.light_pos[li] - p, axis=-1)
             tmax = jnp.where(is_dir, scene.camera.far_z,
                              dist - jnp.float32(self.cfg["pointLightClip"]))
+            # slab-clip to the scene AABB exit
+            inv = 1.0 / jnp.where(jnp.abs(to_light) < 1e-8, 1e-8, to_light)
+            ta = (smin - p) * inv
+            tb = (smax - p) * inv
+            t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+            tmax = jnp.minimum(tmax, jnp.maximum(t_exit, 0.0) + 1e-3)
+            # dead rays (background pixels, light-backfacing surfaces —
+            # their visibility is fixed regardless of the trace) must not
+            # extend the block segment AABBs: mark invalid via tmax=-1
+            facing = jnp.sum(jnp.broadcast_to(to_light, n.shape) * n, -1) > 0.0
+            tmax = jnp.where(valid & facing, tmax, -1.0)
             tmin = scene.camera.near_z * 0.1
             import jax as _jax
             if _jax.devices()[0].platform != "cpu":
@@ -108,7 +126,6 @@ class RayShadow(RenderPass):
                                  tmax.reshape(-1)).reshape(h, w)
             vis = jnp.where(hit, 0.0, 1.0)
             # backfacing surfaces are occluded (RayShadow.ps.slang:178)
-            facing = jnp.sum(jnp.broadcast_to(to_light, n.shape) * n, -1) > 0.0
             vis = jnp.where(facing, vis, 0.0)
             vis = jnp.where(valid, vis, 1.0)
             vis_slices.append(vis)
@@ -118,14 +135,21 @@ class RayShadow(RenderPass):
 
 
 def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
-           light_intensity):
-    """Shared shading core of Forward/Deferred lighting
-    (ForwardLighting.3d.slang:34-90, simplified to the Lambert+ambient terms
-    our material model carries)."""
+           light_intensity, env_map_mirror=False):
+    """Shared shading core of Forward/Deferred lighting — the
+    StandardMaterial-equivalent model (ForwardLighting.3d.slang:34-90:
+    emission + ambient*diffuseAlbedo + env diffuse/specular terms + per-light
+    full BSDF eval; material instance = StandardMaterial.h:68 metallic
+    workflow via ops/brdf.py)."""
+    from ..ops import brdf
+
     hit = g["posW"][..., 3] > 0.0
     mid = jnp.maximum(g["mtlData"], 0)
     albedo = scene.mat_base_color[mid]
     emissive = scene.mat_emissive[mid]
+    rough = scene.mat_roughness[mid]
+    metal = scene.mat_metallic[mid]
+    ior = scene.mat_ior[mid]
     if scene.tex_pages is not None and g.get("texC") is not None:
         # one bilinear fetch per pixel, shading pass only (textures.py rules)
         from ..scene.textures import sample_pages
@@ -133,9 +157,29 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
                                        g["texC"])
     n = g["normW"][..., :3]
     p = g["posW"][..., :3]
+    wo = normalize(scene.camera.pos_w - p)
 
-    color = emissive + ambient_intensity * albedo
-    color = color + env_intensity * albedo * scene.env_radiance
+    diff_albedo, f0 = brdf.metallic_albedos(albedo, metal, ior)
+
+    color = emissive + ambient_intensity * diff_albedo
+
+    # env terms (ForwardLighting.3d.slang:53-63): diffuse along the normal,
+    # specular along the mirror direction capped by roughnessToIntensity
+    if scene.env_map is not None:
+        from ..scene.textures import sample_env
+        r_dir = normalize(2.0 * jnp.sum(wo * n, -1, keepdims=True) * n - wo)
+        env_n = sample_env(scene.env_map, n) * scene.env_radiance
+        env_r = sample_env(scene.env_map, r_dir) * scene.env_radiance
+    else:
+        env_n = env_r = jnp.broadcast_to(scene.env_radiance, color.shape)
+    color = color + env_intensity * diff_albedo * jnp.minimum(env_n, 1.0)
+    spec_cap = saturate(1.0 / (rough + 0.1))[..., None]
+    color = color + env_intensity * f0 * jnp.minimum(env_r, spec_cap)
+    if env_map_mirror:
+        fr = brdf.fresnel_schlick(
+            jnp.maximum(jnp.sum(wo * n, -1), 0.0), 0.3)[..., None]
+        color = color + jnp.where((rough < 0.08)[..., None],
+                                  fr * env_r, 0.0)
 
     for li in range(int(scene.num_lights)):
         is_dir = scene.light_type[li] == LIGHT_DIRECTIONAL
@@ -144,9 +188,11 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
         dist2 = jnp.sum((scene.light_pos[li] - p) ** 2, -1)
         li_rad = jnp.where(is_dir, scene.light_intensity[li],
                            scene.light_intensity[li] / jnp.maximum(dist2, 1e-4)[..., None])
-        ndotl = saturate(jnp.sum(n * to_light, -1))
-        shadow = visibility[li] if (visibility is not None and li < visibility.shape[0]) else 1.0
-        color = color + (shadow * ndotl)[..., None] * albedo / 3.14159265 * li_rad * light_intensity
+        shadow = (visibility[li]
+                  if (visibility is not None and li < visibility.shape[0])
+                  else jnp.float32(1.0))
+        f_cos = brdf.eval_lobes(diff_albedo, f0, rough, n, wo, to_light)
+        color = color + shadow[..., None] * f_cos * li_rad * light_intensity
 
     return jnp.where(hit[..., None], color, env_color)
 
@@ -168,7 +214,8 @@ class ForwardLighting(RenderPass):
                        inputs["color"],
                        float(self.cfg["ambientIntensity"]),
                        float(self.cfg["envMapIntensity"]),
-                       float(self.cfg["lightIntensity"]))
+                       float(self.cfg["lightIntensity"]),
+                       env_map_mirror=bool(self.cfg["envMapMirror"]))
         return {"color": color}, None
 
 

@@ -151,25 +151,11 @@ class MinimalPathTracer(RenderPass):
 # full-screen batch through the shared chunked intersection kernels.
 # ---------------------------------------------------------------------------
 
+from ..ops.brdf import fresnel_schlick as _fresnel
+from ..ops.brdf import ggx_d as _ggx_d
+from ..ops.brdf import smith_g as _smith_g
+
 _PI = 3.14159265
-
-
-def _ggx_d(n_dot_h, alpha):
-    a2 = alpha * alpha
-    d = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
-    return a2 / jnp.maximum(_PI * d * d, 1e-8)
-
-
-def _smith_g(n_dot_v, n_dot_l, alpha):
-    def g1(c):
-        a2 = alpha * alpha
-        return 2.0 * c / jnp.maximum(
-            c + jnp.sqrt(a2 + (1.0 - a2) * c * c), 1e-8)
-    return g1(jnp.maximum(n_dot_v, 1e-4)) * g1(jnp.maximum(n_dot_l, 1e-4))
-
-
-def _fresnel(v_dot_h, f0=0.04):
-    return f0 + (1.0 - f0) * (1.0 - saturate(v_dot_h)) ** 5
 
 
 def _eval_bsdf(albedo, rough, n, wo, wi):

@@ -33,6 +33,8 @@ def save(scene: Scene, cache_path: str):
         node_id=np.asarray(scene.node_id),
         mat_base_color=np.asarray(scene.mat_base_color),
         mat_roughness=np.asarray(scene.mat_roughness),
+        mat_metallic=np.asarray(scene.mat_metallic),
+        mat_ior=np.asarray(scene.mat_ior),
         mat_emissive=np.asarray(scene.mat_emissive),
         mat_double_sided=np.asarray(scene.mat_double_sided),
         mat_alpha_mode=np.asarray(scene.mat_alpha_mode),
@@ -64,6 +66,10 @@ def load(cache_path: str) -> Scene:
                         near_z=float(z["cam_near"]), far_z=float(z["cam_far"]))
     materials = [dict(base_color=tuple(z["mat_base_color"][i]),
                       roughness=float(z["mat_roughness"][i]),
+                      metallic=(float(z["mat_metallic"][i])
+                                if "mat_metallic" in z.files else 0.0),
+                      ior=(float(z["mat_ior"][i])
+                           if "mat_ior" in z.files else 1.5),
                       emissive=tuple(z["mat_emissive"][i]),
                       double_sided=bool(z["mat_double_sided"][i]),
                       alpha_mode=int(z["mat_alpha_mode"][i]),
