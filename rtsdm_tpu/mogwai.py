@@ -50,6 +50,26 @@ class TimingCapture:
             self._file.flush()
 
 
+class PixelDebug:
+    """Select a pixel; passes' ctx.debug_print() intermediates at that pixel
+    surface here after each frame (reference Utils/Debug/PixelDebug.h:65 —
+    the shader-print mechanism, TPU-shaped: one in-jit dynamic_slice per
+    logged value instead of a UAV log buffer)."""
+
+    def __init__(self, renderer):
+        self._renderer = renderer
+        self.pixel = None    # (x, y) or None = disabled
+        self.last = {}       # {"i:name": float/array} from the last frame
+
+    def select(self, x: int, y: int):
+        self.pixel = (int(x), int(y))
+        self._renderer._frame_fn = None  # rebuild with debug taps
+
+    def disable(self):
+        self.pixel = None
+        self._renderer._frame_fn = None
+
+
 class Renderer:
     """The `m` object."""
 
@@ -72,15 +92,48 @@ class Renderer:
         self._frame_fn = None
         self._scene_comp = None  # guard-band-compensated pristine scene
         self._last_outputs = None
+        from .core.settings import Settings
+        self.settings = Settings()
+        self.pixelDebug = PixelDebug(self)
 
     # --- script API -----------------------------------------------------
     def addGraph(self, graph: RenderGraph):
         self.graphs.append(graph)
         self.active_graph = graph
+        self._apply_settings(graph)
         if self.scene is not None:
             graph.set_scene(self.scene)
         self._frame_fn = None
         self._state = None
+
+    def addOptions(self, source):
+        """Global options from a dict or a JSON file path (reference
+        Settings::addOptions, Utils/Settings.h:314-319; Mogwai scripts call
+        m.addOptions(...)). Options under 'RenderPass:<Type>' override
+        matching pass properties; attribute filters added via
+        m.settings.add_filtered_attributes(pattern, attrs) match
+        '<graph>:<pass>' subjects (Settings.h:297-324)."""
+        self.settings.add_options(source)
+        for g in self.graphs:
+            self._apply_settings(g)
+        self._frame_fn = None
+        self._state = None
+
+    def clearOptions(self):
+        self.settings._options.clear()
+
+    def _apply_settings(self, graph):
+        for name, p in graph.passes.items():
+            opts = self.settings.get_option(f"RenderPass:{p.pass_type}")
+            if isinstance(opts, dict):
+                for key, val in opts.items():
+                    if key in p.cfg:
+                        p.cfg[key] = val
+            subject = f"{getattr(graph, 'name', 'graph')}:{name}"
+            for key in list(p.cfg.keys()):
+                val = self.settings.get_attribute(subject, key, None)
+                if val is not None:
+                    p.cfg[key] = val
 
     def removeGraph(self, graph):
         self.graphs.remove(graph)
@@ -89,18 +142,28 @@ class Renderer:
 
     def loadScene(self, path: str, use_cache: bool = True):
         """Scene load via importer dispatch + SceneCache (reference
-        Mogwai.h:166 / Scene/Importer.cpp / SceneCache.h:54)."""
+        Mogwai.h:166 / Scene/Importer.cpp / SceneCache.h:54). Every file
+        importer goes through the content-keyed cache (r2 verdict #10:
+        glTF/pbrt/USDA previously reloaded cold every run); .pyscene is
+        executable python and is never cached."""
         self._scene_name = path
-        if path.endswith((".obj", ".pyscene")):
+        file_exts = (".obj", ".gltf", ".glb", ".pbrt", ".usda", ".usd")
+        if path.endswith(file_exts + (".pyscene",)):
             from .scene.importers import load_any
-            if use_cache and path.endswith(".obj"):
+            if use_cache and path.endswith(file_exts):
                 from .scene import cache
-                from .scene.importers import import_obj
-                self.scene = cache.load_cached(path, import_obj)
+                self.scene = cache.load_cached(path, load_any)
             else:
                 self.scene = load_any(path)
         else:
             self.scene = load_scene(path, aspect=self.width / self.height)
+        # scene options (Settings attribute machinery, Utils/Settings.h):
+        # 'Scene:emissiveVirtualLights' = N turns emissive geometry into up
+        # to N analytic point lights for the raster shading paths
+        evl = int(self.settings.get_option("Scene:emissiveVirtualLights", 0))
+        if evl > 0:
+            from .scene.scene import add_emissive_virtual_lights
+            self.scene = add_emissive_virtual_lights(self.scene, evl)
         for g in self.graphs:
             g.set_scene(self.scene)
         self._frame_fn = None
@@ -158,7 +221,8 @@ class Renderer:
         ctx = RenderContext(width=rw, height=rh, scene=scene,
                             dictionary={"guardBand": gb})
         self._state = graph.init_state(ctx)
-        fn = graph.frame_fn(rw, rh, dictionary={"guardBand": gb})
+        fn = graph.frame_fn(rw, rh, dictionary={"guardBand": gb},
+                            pixel_debug=self.pixelDebug.pixel)
         self._frame_fn = jax.jit(fn) if self.use_jit else fn
         self._scene_comp = scene
 
@@ -194,6 +258,9 @@ class Renderer:
                 frame_index=self.clock.frame, time=self.clock.time)
             jax.block_until_ready(marked)
         self.timingCapture._record((_time.perf_counter() - t0) * 1e3)
+        dbg = marked.pop("__pixel_debug__", None)
+        if dbg is not None:
+            self.pixelDebug.last = {k: np.asarray(v) for k, v in dbg.items()}
         # crop the guard band off marked outputs (capture shows the target res)
         _, _, gb = self._render_res()
         if gb:

@@ -67,10 +67,13 @@ class StochasticDepthMapRT(RenderPass):
     depths, 1.0 where empty. SD resolution (incl. guard band) is inferred
     from the rayMin/rayMax inputs."""
 
+    # MaxCount: 0 = uncapped (see passes/svao.py stochMaxCount note — the
+    # reference's MAX_COUNT=8 default is a GPU-traversal perf knob that
+    # COSTS on TPU; the cap is fully implemented for parity when set)
     SCHEMA = dict(SampleCount=4, CullMode="Back", AlphaTest=True,
                   Implementation="default", Alpha=0.2, RayInterval=True,
                   normalize=True, StoreNormals=False, Jitter=True,
-                  GuardBand=0, MaxCount=8, linearize=False, depthFormat=None,
+                  GuardBand=0, MaxCount=0, linearize=False, depthFormat=None,
                   chunk=128, usePallas=True,
                   # 'auto': stream triangle chunks HBM->VMEM by DMA (the BVH
                   # tier, ops/rt_pallas.sd_trace_pallas_stream) once the scene
@@ -188,7 +191,11 @@ class StochasticDepthMapRT(RenderPass):
                 chunk=int(self.cfg["chunk"]),
                 cull=rt.CULL_BACK if self.cfg["CullMode"] == "Back" else rt.CULL_NONE,
                 alpha_test=bool(self.cfg["AlphaTest"]))
-        return {"stochasticDepth": depths.reshape(sd_h, sd_w, k)}, None
+        sd = depths.reshape(sd_h, sd_w, k)
+        ctx.debug_print("sdrt.stochasticDepth", sd)
+        ctx.debug_print("sdrt.rayMin", ray_min)
+        ctx.debug_print("sdrt.rayMax", ray_max)
+        return {"stochasticDepth": sd}, None
 
 
 @register_pass("StochasticDepthMap")
@@ -263,6 +270,16 @@ def _raster_stochastic(scene, width, height, k, alpha, first_depth=None,
     from ..ops.raster import TILE_H, TILE_W
 
     cam = scene.camera
+    if (scene.num_triangles > 8192
+            and jax.devices()[0].platform not in ("cpu",)):
+        # at-scale tier: the XLA binning scatter below is the whole-frame
+        # bottleneck (ops/raster_pallas.py header, measured numbers)
+        from ..ops.raster_pallas import raster_stochastic_pallas
+        return raster_stochastic_pallas(
+            cam.view_proj_no_jitter, scene.positions, cam.far_z,
+            width=width, height=height, k=k, alpha=alpha,
+            first_depth=first_depth, ray_min=ray_min, ray_max=ray_max,
+            cull=cull)
     coef, bbox, valid = _setup_triangles(
         cam.view_proj_no_jitter, scene.positions, width, height,
         jnp.float32(0), jnp.float32(0), CULL_MODES[cull])

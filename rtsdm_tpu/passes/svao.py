@@ -59,7 +59,13 @@ class SVAO(RenderPass):
         rayPipeline=True, thickness=0.0, stochMapDivisor=4, dualAO=False,
         alphaTest=True,
         # extended knobs (reference UI state, SVAO.h:90-127)
-        sampleCount=8, kernel="VAO", stochSamples=4, stochMaxCount=8,
+        # stochMaxCount: 0 = uncapped. The reference defaults MAX_COUNT to 8
+        # (SVAO.h:126) because capping traversal SAVES time on a GPU BVH; on
+        # TPU the cap COSTS (per-chunk ordinal matmul + early-exit while_loop
+        # serializes the DMA pipeline: SD trace 44 -> 112 ms measured at
+        # SunTemple-full), so the default is the exact uncapped reservoir —
+        # set 8 explicitly for strict reference-default parity.
+        sampleCount=8, kernel="VAO", stochSamples=4, stochMaxCount=0,
         useRayInterval=True, stochMapJitter=True, stochMapGuardBand=512,
         traceOutOfScreen=False, stochasticDepthImpl="Ray", cullMode=None,
         ssRadiusCutoff=6.0, ssMaxRadius=512.0, maxRayBudgetFraction=0.5,
@@ -67,6 +73,9 @@ class SVAO(RenderPass):
         # 'shift' = gather-free quantized-shift sampling (TPU fast path,
         # see ops/ao_shift.py); 'gather' = exact reference formulation
         samplingMode="shift",
+        # thread through to the nested SD pass: False forces the XLA oracle
+        # kernels (tier cross-checks, tools/quality_ssim.py)
+        usePallas=True,
     )
 
     def __init__(self, props=None):
@@ -120,7 +129,8 @@ class SVAO(RenderPass):
             sd_dict.update(normalize=True,
                            Jitter=bool(self.cfg["stochMapJitter"]),
                            GuardBand=self._extra_guard(),
-                           MaxCount=int(self.cfg["stochMaxCount"]))
+                           MaxCount=int(self.cfg["stochMaxCount"]),
+                           usePallas=bool(self.cfg["usePallas"]))
             g.create_pass("StochasticDepthMap", "StochasticDepthMapRT", sd_dict)
         g.mark_output("StochasticDepthMap.stochasticDepth")
         if self.scene is not None:
@@ -193,10 +203,22 @@ class SVAO(RenderPass):
                 self._sd_graph = self._build_sd_graph()
                 self._sd_graph.set_scene(ctx.scene)
             sd_w, sd_h = self._stoch_map_size((w, h))
+            # propagate PixelDebug into the nested graph: the selected
+            # screen pixel maps to SD texel (x//div + guard, y//div + guard);
+            # the debug_log list is SHARED so nested taps surface in the
+            # outer frame outputs
+            sd_dbg = None
+            if ctx.pixel_debug is not None:
+                div = int(self.cfg["stochMapDivisor"])
+                g_sd = self._extra_guard()
+                sd_dbg = (ctx.pixel_debug[0] // div + g_sd,
+                          ctx.pixel_debug[1] // div + g_sd)
             sd_ctx = RenderContext(width=sd_w, height=sd_h, scene=ctx.scene,
                                    frame_index=ctx.frame_index, time=ctx.time,
                                    dictionary=ctx.dictionary,
-                                   profiler=ctx.profiler)
+                                   profiler=ctx.profiler,
+                                   pixel_debug=sd_dbg)
+            sd_ctx.debug_log = ctx.debug_log
             marked, _, _ = self._sd_graph.execute(
                 sd_ctx, {},
                 external_inputs={"StochasticDepthMap.linearZ": depth,
@@ -233,6 +255,12 @@ class SVAO(RenderPass):
         else:
             ao = jnp.where(refined, A.finalize(cfg, ao_raw + delta),
                            A.finalize(cfg, ao_raw))
+        # PixelDebug taps (ctx.debug_print is a no-op unless a pixel is
+        # selected — reference PixelDebug.h print() in SVAORaster2.ps.slang)
+        ctx.debug_print("svao.ao_raw", ao_raw)
+        ctx.debug_print("svao.delta", delta)
+        ctx.debug_print("svao.stencil", stencil)
+        ctx.debug_print("svao.ao", ao)
         return {"ao": ao, "stencil": stencil,
                 "internalRayMin": ray_min, "internalRayMax": ray_max}, None
 

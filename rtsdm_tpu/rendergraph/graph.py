@@ -168,19 +168,27 @@ class RenderGraph:
         return marked, produced, new_state
 
     def frame_fn(self, width: int, height: int, dictionary: dict | None = None,
-                 external_input_keys: tuple = ()):
+                 external_input_keys: tuple = (), pixel_debug=None):
         """Build a pure per-frame function for jax.jit.
 
         f(scene, state, frame_index, time, external_inputs) ->
             (marked_outputs, new_state)
-        """
+
+        pixel_debug: optional (x, y) — passes' ctx.debug_print() values at
+        that pixel ride along in marked['__pixel_debug__'] (the PixelDebug
+        analogue, reference Utils/Debug/PixelDebug.h:65)."""
         dictionary = dict(dictionary or {})
 
         def f(scene, state, frame_index=0, time=0.0, external_inputs=None):
             ctx = RenderContext(width=width, height=height, scene=scene,
                                 frame_index=frame_index, time=time,
-                                dictionary=dict(dictionary))
+                                dictionary=dict(dictionary),
+                                pixel_debug=pixel_debug)
             marked, _, new_state = self.execute(ctx, state, external_inputs)
+            if pixel_debug is not None and ctx.debug_log:
+                marked = dict(marked)
+                marked["__pixel_debug__"] = {
+                    f"{i}:{n}": v for i, (n, v) in enumerate(ctx.debug_log)}
             return marked, new_state
 
         return f

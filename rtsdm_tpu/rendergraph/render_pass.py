@@ -89,10 +89,31 @@ class RenderContext:
     time: Any = 0.0
     dictionary: dict = dataclasses.field(default_factory=dict)
     profiler: Any = None
+    # PixelDebug analogue (reference Utils/Debug/PixelDebug.h:65 — a
+    # shader `print()` gated to one selected pixel): when `pixel_debug` is
+    # set to (x, y), passes call ctx.debug_print(name, arr) on per-pixel
+    # intermediates; the selected texel is sliced INSIDE the jit (one
+    # dynamic_slice — no full-array readback) and surfaced through the
+    # frame outputs under '__pixel_debug__'. None = zero overhead (the
+    # call is a trace-time no-op).
+    pixel_debug: Any = None        # (x, y) host ints or None
+    debug_log: list = dataclasses.field(default_factory=list)
 
     @property
     def guard_band(self) -> int:
         return int(self.dictionary.get("guardBand", 0))
+
+    def debug_print(self, name: str, arr) -> None:
+        """Record `arr[y, x(, :)]` at the selected debug pixel (trace-time
+        no-op when pixel debugging is off)."""
+        if self.pixel_debug is None or not hasattr(arr, "ndim") \
+                or arr.ndim < 2:
+            return
+        import jax.numpy as jnp
+        x, y = self.pixel_debug
+        y = min(max(int(y), 0), arr.shape[0] - 1)
+        x = min(max(int(x), 0), arr.shape[1] - 1)
+        self.debug_log.append((name, arr[y, x]))
 
 
 class RenderPass:

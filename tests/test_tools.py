@@ -212,3 +212,94 @@ def test_load_any_dispatch_new_formats(tmp_path):
         load_any(str(tmp_path / "missing.pbrt"))
     with _pt.raises((ValueError, FileNotFoundError, OSError)):
         load_any(str(tmp_path / "missing.usda"))
+
+
+def test_settings_affect_graph_run(tmp_path):
+    """VERDICT r2 #9 done-criterion: a reference-style options file changes
+    a graph run (option overrides a pass property through the Renderer)."""
+    import json
+    import numpy as np
+    from rtsdm_tpu.mogwai import Renderer, run_script
+
+    opts = tmp_path / "options.json"
+    opts.write_text(json.dumps(
+        {"RenderPass": {"HBAO": {"radius": 0.01, "powerExponent": 4.0}}}))
+
+    m = Renderer(width=64, height=64)
+    run_script("scripts/HBAO.py", m)
+    m.addOptions(str(opts))
+    hb = next(p for p in m.active_graph.passes.values()
+              if p.pass_type == "HBAO")
+    assert float(hb.cfg["radius"]) == 0.01
+    m.loadScene("CornellBox")
+    out_small = m.renderFrame()
+
+    m2 = Renderer(width=64, height=64)
+    run_script("scripts/HBAO.py", m2)
+    m2.loadScene("CornellBox")
+    out_base = m2.renderFrame()
+    key = next(k for k in out_base if k.endswith("out"))
+    assert not np.allclose(np.asarray(out_small[key]),
+                           np.asarray(out_base[key]))
+
+
+def test_settings_attribute_filters_on_graph_subject():
+    from rtsdm_tpu.mogwai import Renderer, run_script
+
+    m = Renderer(width=64, height=64)
+    m.settings.add_filtered_attributes("*:HBAO", {"radius": 0.33})
+    run_script("scripts/HBAO.py", m)
+    hb = next(p for p in m.active_graph.passes.values()
+              if p.pass_type == "HBAO")
+    assert abs(float(hb.cfg["radius"]) - 0.33) < 1e-9
+
+
+def test_pixel_debug():
+    """PixelDebug analogue (Utils/Debug/PixelDebug.h:65): selecting a pixel
+    surfaces pass intermediates at that pixel after renderFrame; disabling
+    removes the taps."""
+    import numpy as np
+    from rtsdm_tpu.mogwai import Renderer, run_script
+
+    m = Renderer(width=64, height=64)
+    run_script("scripts/SVAO_small.py", m)
+    m.loadScene("CornellBox")
+    m.pixelDebug.select(32, 40)
+    m.renderFrame()
+    logs = m.pixelDebug.last
+    assert any("svao.ao" in k for k in logs), logs.keys()
+    assert any("sdrt.stochasticDepth" in k for k in logs)
+    for v in logs.values():
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+    m.pixelDebug.disable()
+    m.renderFrame()
+    assert m.pixelDebug.last == logs  # no new writes when disabled
+
+
+def test_emissive_virtual_lights():
+    """Emissive geometry becomes shadow-casting analytic point lights when
+    the 'Scene:emissiveVirtualLights' option is set (the raster-shading
+    analogue of the reference's emissive LightCollection/LightBVH,
+    Rendering/Lights/LightBVH.h:57)."""
+    import numpy as np
+    from rtsdm_tpu.scene.procedural import cornell_box
+    from rtsdm_tpu.scene.scene import add_emissive_virtual_lights
+
+    scene = cornell_box()
+    n0 = int(scene.num_lights)
+    s2 = add_emissive_virtual_lights(scene, max_lights=4)
+    assert int(s2.num_lights) > n0
+    # the cornell ceiling panel is the emitter: virtual light sits near the
+    # ceiling, intensity positive
+    new_pos = np.asarray(s2.light_pos)[n0:]
+    new_int = np.asarray(s2.light_intensity)[n0:]
+    assert (new_int.sum(-1) > 0).all()
+    ceil_y = float(np.asarray(scene.positions)[..., 1].max())
+    assert (np.abs(new_pos[:, 1] - ceil_y) < 0.2 * ceil_y).all()
+
+    from rtsdm_tpu.mogwai import Renderer, run_script
+    m = Renderer(width=48, height=48)
+    m.addOptions({"Scene": {"emissiveVirtualLights": 2}})
+    run_script("scripts/Forward.py", m)
+    m.loadScene("CornellBox")
+    assert int(m.scene.num_lights) > n0
