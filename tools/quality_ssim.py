@@ -32,12 +32,17 @@ import jax.numpy as jnp
 import numpy as np
 
 CONFIGS = [
-    dict(name="config2_arcade_720p_rastersd", scene="Arcade",
-         width=1280, height=720, divisor=4, impl="Raster"),
-    dict(name="config3_suntemple_1080p_raysd_fullres", scene="SunTemple",
-         width=1920, height=1080, divisor=1, impl="Ray"),
-    dict(name="config4_bistro_1080p_raysd_quarter", scene="Bistro",
-         width=1920, height=1080, divisor=4, impl="Ray"),
+    # Full-detail tiers (alpha-masked foliage, real triangle counts —
+    # VERDICT r2 item 4). The brute-force Raytraced reference mode is
+    # O(rays x tris), so the REFERENCE comparison runs at ref_scale-reduced
+    # resolution with the full geometry; the Pallas-vs-XLA-oracle SSIM runs
+    # at the same resolution (same algorithm, different tier).
+    dict(name="config2_arcade_720p_rastersd", scene="Arcade@full",
+         width=1280, height=720, divisor=4, impl="Raster", ref_scale=2),
+    dict(name="config3_suntemple_1080p_raysd_fullres", scene="SunTemple@full",
+         width=1920, height=1080, divisor=1, impl="Ray", ref_scale=4),
+    dict(name="config4_bistro_1080p_raysd_quarter", scene="Bistro@full",
+         width=1920, height=1080, divisor=4, impl="Ray", ref_scale=4),
 ]
 
 
@@ -51,7 +56,8 @@ def run_config(c):
     from rtsdm_tpu.utils.math import (encode_normal_2x16, normalize,
                                       transform_vector)
 
-    w, h = c["width"], c["height"]
+    rs = int(c.get("ref_scale", 1))
+    w, h = c["width"] // rs, c["height"] // rs
     scene = load_scene(c["scene"], aspect=w / h)
     cam = scene.camera
     g = raster_gbuffer(scene, w, h, max_per_tile=512)
@@ -72,6 +78,12 @@ def run_config(c):
     ray_sd = svao({"secondaryDepthMode": "StochasticDepth",
                    "stochasticDepthImpl": "Ray",
                    "stochMapDivisor": c["divisor"], "stochMapGuardBand": 512})
+    # tier cross-check: identical algorithm through the XLA oracle kernels
+    # (the Pallas tiers are the default on TPU)
+    ray_sd_oracle = svao({"secondaryDepthMode": "StochasticDepth",
+                          "stochasticDepthImpl": "Ray",
+                          "stochMapDivisor": c["divisor"],
+                          "stochMapGuardBand": 512, "usePallas": False})
     raster_sd = svao({"secondaryDepthMode": "StochasticDepth",
                       "stochasticDepthImpl": "Raster",
                       "stochMapDivisor": c["divisor"]})
@@ -99,7 +111,9 @@ def run_config(c):
 
     return {
         "triangles": int(scene.num_triangles),
+        "resolution": f"{w}x{h}",
         "ssim_ray_sd_vs_raytraced": s(ray_sd, ray_ref),
+        "ssim_pallas_vs_xla_oracle": s(ray_sd, ray_sd_oracle),
         "ssim_raster_sd_vs_raytraced": s(raster_sd, ray_ref),
         "ssim_config_impl_vs_raytraced": s(primary_sd, ray_ref),
         "ssim_ray_sd_vs_rtao64": s(ray_sd, rtao_acc),
@@ -108,21 +122,102 @@ def run_config(c):
     }
 
 
+def run_config1_hbao():
+    """Config 1 (HBAO screen-space, Cornell 256^2): SSIM vs the 64-frame
+    accumulated RTAO cosine ground truth — HBAO has no exact RT reference
+    mode, the accumulation is the closest in-repo truth (VERDICT r2 item 4:
+    'HBAO vs its own reference mode')."""
+    from rtsdm_tpu.passes.ao_extra import RTAO
+    from rtsdm_tpu.passes.hbao import HBAO
+    from rtsdm_tpu.passes.gbuffer import raster_gbuffer
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.scene.procedural import cornell_box
+    from rtsdm_tpu.utils.compare import ssim
+    from rtsdm_tpu.utils.math import (encode_normal_2x16, normalize,
+                                      transform_vector)
+
+    w = h = 256
+    scene = cornell_box()
+    cam = scene.camera
+    g = raster_gbuffer(scene, w, h)
+    lin = cam.linearize_depth(g["depth"])
+    ctx = RenderContext(width=w, height=h, scene=scene,
+                        dictionary={"guardBand": 0})
+    hb = HBAO({"radius": 0.5})
+    hb.set_scene(scene)
+    packed = encode_normal_2x16(
+        normalize(transform_vector(cam.view_mat, g["faceNormalW"])))
+    out, _ = hb.execute(ctx, {"depth": lin, "normals": packed})
+    hbao = np.asarray(jax.block_until_ready(out["ambientMap"]))
+
+    rt_pass = RTAO({"maxAORayTHit": 0.5, "maxTheoreticalTHit": 0.5})
+    rt_pass.set_scene(scene)
+    acc = np.zeros((h, w), np.float64)
+    for f in range(64):
+        fctx = RenderContext(width=w, height=h, scene=scene, frame_index=f,
+                             dictionary={"guardBand": 0})
+        o, _ = rt_pass.execute(fctx, {"wPos": g["posW"],
+                                      "faceNormal": g["faceNormalW"]})
+        acc += np.asarray(jax.block_until_ready(o["ambient"]))
+    rtao = (acc / 64.0).astype(np.float32)
+    return {"triangles": int(scene.num_triangles),
+            "ssim_hbao_vs_rtao64":
+                round(float(ssim(jnp.asarray(hbao), jnp.asarray(rtao))), 4)}
+
+
+def run_config5_taa_stability():
+    """Config 5 (ShadedTAA end-to-end on EmeraldSquare@full, animated
+    orbit): temporal stability = mean SSIM of consecutive TAA outputs after
+    warm-up. A flickering pipeline scores low; target >= 0.9."""
+    from rtsdm_tpu.mogwai import Renderer, run_script
+    from rtsdm_tpu.scene.animation import CameraPath
+    from rtsdm_tpu.utils.compare import ssim
+
+    m = Renderer(width=1280, height=720)
+    run_script(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "SVAO_small.py"), m)
+    m.loadScene("EmeraldSquare@full")
+    m.cameraPath = CameraPath.orbit(center=(0, 2, 0), radius=45.0,
+                                    height=14.0, duration=8.0)
+    m.clock.play()
+    frames = []
+    for f in range(8):
+        out = m.renderFrame()
+        key = next(k for k in out if k.startswith("ShadedTAA"))
+        if f >= 4:
+            frames.append(np.asarray(out[key])[..., :3])
+    sims = [round(float(ssim(jnp.asarray(frames[i]),
+                             jnp.asarray(frames[i + 1]))), 4)
+            for i in range(len(frames) - 1)]
+    return {"consecutive_frame_ssim": sims,
+            "mean_frame_ssim": round(float(np.mean(sims)), 4)}
+
+
 def main():
     report = {"device": str(jax.devices()[0]),
-              "note": "small scene tier at real resolutions (Raytraced "
+              "note": "full-detail tiers; reference comparison at ref_scale-reduced resolution (Raytraced "
                       "reference mode is the brute-force XLA path); kernel "
                       "parity at reference scale: tools/pallas_parity.py",
               "target": "ssim_ray_sd_vs_raytraced >= 0.98",
               "configs": {}}
+    report["configs"]["config1_hbao_cornell_256"] = run_config1_hbao()
+    print("config1", report["configs"]["config1_hbao_cornell_256"])
     for c in CONFIGS:
         report["configs"][c["name"]] = run_config(c)
         print(c["name"], report["configs"][c["name"]])
-    vals = [v["ssim_ray_sd_vs_raytraced"] for v in report["configs"].values()]
+    report["configs"]["config5_shaded_taa_stability"] = \
+        run_config5_taa_stability()
+    print("config5", report["configs"]["config5_shaded_taa_stability"])
+    vals = [v["ssim_ray_sd_vs_raytraced"]
+            for v in report["configs"].values()
+            if "ssim_ray_sd_vs_raytraced" in v]
     report["min_ssim_ray_sd_vs_raytraced"] = min(vals)
-    report["ok"] = bool(min(vals) >= 0.98)
+    report["ok"] = bool(
+        min(vals) >= 0.98
+        and report["configs"]["config5_shaded_taa_stability"]
+            ["mean_frame_ssim"] >= 0.9)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QUALITY_r02.json")
+        os.path.abspath(__file__))), "QUALITY_r03.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "configs"}))
