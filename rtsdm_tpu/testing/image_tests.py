@@ -104,14 +104,69 @@ def run_all(tests_dir=DEFAULT_TESTS, refs_dir=DEFAULT_REFS, generate=False):
     return report
 
 
+def _png_b64(img):
+    """[H,W(,C)] float -> base64 PNG (for the self-contained HTML report)."""
+    import base64
+    import io
+
+    from PIL import Image
+    a = np.asarray(img, np.float32)
+    if a.ndim == 3 and a.shape[-1] > 3:
+        a = a[..., :3]
+    if a.ndim == 2:
+        a = np.stack([a] * 3, -1)
+    a = np.clip(a, 0.0, 1.0)
+    buf = io.BytesIO()
+    Image.fromarray((a * 255).astype(np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def write_report(report, out_dir, refs_dir=DEFAULT_REFS):
+    """JSON + self-contained HTML report with reference thumbnails — the
+    reference tier's viewer (tests/testing/view_image_tests.py emits the
+    same test/status/error table with images)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    rows = []
+    for r in report["results"]:
+        cells = []
+        for key, err in sorted(r.get("errors", {}).items()):
+            ref_path = os.path.join(refs_dir, f"{r['name']}.{key}.npy")
+            thumb = ""
+            if os.path.exists(ref_path):
+                try:
+                    thumb = ("<img src='data:image/png;base64,%s' "
+                             "style='max-width:160px'/>" %
+                             _png_b64(np.load(ref_path).astype(np.float32)))
+                except Exception:
+                    thumb = ""
+            cells.append(f"<td>{key}<br>mse={err:.2e}<br>{thumb}</td>")
+        color = {"pass": "#cfc", "fail": "#fcc"}.get(r["status"], "#ffc")
+        rows.append(f"<tr style='background:{color}'><td>{r['name']}<br>"
+                    f"<b>{r['status']}</b><br>tol={r['tolerance']:.1e}</td>"
+                    + "".join(cells) + "</tr>")
+    html = ("<html><head><title>rtsdm_tpu image tests</title></head><body>"
+            f"<h1>Image tests — {len(report['results'])} tests, "
+            f"{len(report['failed'])} failed</h1>"
+            "<table border=1 cellpadding=4>" + "".join(rows)
+            + "</table></body></html>")
+    with open(os.path.join(out_dir, "report.html"), "w") as f:
+        f.write(html)
+
+
 def main(argv=None):
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--tests-dir", default=DEFAULT_TESTS)
     ap.add_argument("--refs", default=DEFAULT_REFS)
     ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--report", default=None,
+                    help="directory for report.json + report.html")
     a = ap.parse_args(argv)
     report = run_all(a.tests_dir, a.refs, a.generate)
+    if a.report:
+        write_report(report, a.report, a.refs)
     print(json.dumps(report, indent=2))
     return 1 if report["failed"] else 0
 
