@@ -147,7 +147,8 @@ class Renderer:
         glTF/pbrt/USDA previously reloaded cold every run); .pyscene is
         executable python and is never cached."""
         self._scene_name = path
-        file_exts = (".obj", ".gltf", ".glb", ".pbrt", ".usda", ".usd")
+        file_exts = (".obj", ".gltf", ".glb", ".pbrt", ".usda", ".usd",
+                     ".fbx")
         if path.endswith(file_exts + (".pyscene",)):
             from .scene.importers import load_any
             if use_cache and path.endswith(file_exts):

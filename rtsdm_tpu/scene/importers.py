@@ -641,5 +641,8 @@ def load_any(path_or_name: str, aspect=1.0) -> Scene:
         return import_pbrt(path_or_name)
     if path_or_name.endswith((".usda", ".usd")):
         return import_usda(path_or_name)
+    if path_or_name.endswith(".fbx"):
+        from .fbx import import_fbx
+        return import_fbx(path_or_name)
     from .procedural import load_scene
     return load_scene(path_or_name, aspect=aspect)
