@@ -14,6 +14,7 @@ matches the requested image.
 from __future__ import annotations
 
 import math
+import os
 import runpy
 import sys
 
@@ -273,6 +274,27 @@ class Renderer:
         return marked
 
 
+def load_plugins(paths):
+    """Runtime pass/importer plugins (reference PluginRegistry +
+    FALCOR_PLUGIN_CLASS, Core/Plugin.h — DLLs there, python modules here):
+    each path is a .py file or a directory of .py files executed once;
+    modules register passes via @register_pass / importers by monkeypatching
+    scene.importers. Returns the newly registered pass-type names."""
+    import glob as _glob
+
+    from .rendergraph.render_pass import PASS_REGISTRY
+    before = set(PASS_REGISTRY)
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(_glob.glob(os.path.join(p, "*.py"))))
+        else:
+            files.append(p)
+    for f in files:
+        runpy.run_path(f, run_name=f"rtsdm_plugin_{os.path.basename(f)}")
+    return sorted(set(PASS_REGISTRY) - before)
+
+
 def run_script(path: str, m: Renderer | None = None, scene: str | None = None):
     """Execute a graph script the way Mogwai does (Renderer::loadScript,
     Mogwai.h:111): the script sees `m` and `from falcor import *` works."""
@@ -294,8 +316,12 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--capture", default=None)
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--plugin", action="append", default=[],
+                    help="pass-plugin .py file or directory (repeatable)")
     args = ap.parse_args(argv)
 
+    if args.plugin:
+        load_plugins(args.plugin)
     m = Renderer(width=args.width, height=args.height)
     m.profiler.enabled = args.profile
     run_script(args.script, m)

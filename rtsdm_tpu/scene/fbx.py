@@ -113,11 +113,13 @@ def _read_node(buf, off, big):
 
 
 def parse_fbx(path):
-    """Parse a binary FBX file into the raw node tree (list of root nodes)."""
-    buf = memoryview(open(path, "rb").read())
-    if bytes(buf[:len(_MAGIC)]) != _MAGIC:
-        raise ValueError(f"{path}: not a binary FBX file (missing magic; "
-                         "ASCII FBX is not supported)")
+    """Parse a binary OR ASCII FBX file into the raw node tree (list of
+    root nodes). The two containers carry the same node/property model; the
+    ASCII form is `Name: p1, p2 { children }` with `a: ...` array bodies."""
+    raw = open(path, "rb").read()
+    if raw[:len(_MAGIC)] != _MAGIC:
+        return _parse_ascii(raw.decode("utf-8", "replace"), path)
+    buf = memoryview(raw)
     version = struct.unpack_from("<I", buf, 23)[0]
     big = version >= 7500
     off = 27
@@ -128,6 +130,102 @@ def parse_fbx(path):
             break
         roots.append(node)
     return roots, version
+
+
+def _ascii_value(tok):
+    tok = tok.strip()
+    if not tok:
+        return None
+    if tok.startswith('"'):
+        return tok.strip('"')
+    if tok in ("T", "Y"):
+        return True
+    if tok in ("F", "N"):
+        return False
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
+
+def _split_props(s):
+    """Split a property list on commas outside quotes."""
+    out, cur, q = [], [], False
+    for ch in s:
+        if ch == '"':
+            q = not q
+            cur.append(ch)
+        elif ch == "," and not q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return [v for v in (_ascii_value(t) for t in out) if v is not None]
+
+
+def _parse_ascii(text, path):
+    """ASCII FBX -> the same node tree the binary parser yields. Array
+    nodes (`Vertices: *24 { a: ... }`) collapse to a single numpy prop like
+    their binary counterparts (float64 if any value has a '.', else int64)."""
+    if "FBX" not in text[:512] and ":" not in text[:512]:
+        raise ValueError(f"{path}: not an FBX file")
+    version = 7400
+    import re
+    m = re.search(r"FBXVersion:\s*(\d+)", text)
+    if m:
+        version = int(m.group(1))
+
+    lines = [ln.split(";", 1)[0] for ln in text.splitlines()]
+    stack = [[]]  # child lists; stack[0] = roots
+    pending = None  # _Node awaiting '{' contents
+    array_node = None  # node collecting 'a:' values
+
+    for ln in lines:
+        s = ln.strip()
+        if not s:
+            continue
+        if array_node is not None:
+            body = s[2:] if s.startswith("a:") else s
+            closing = body.rstrip().endswith("}")
+            if closing:
+                body = body.rstrip()[:-1]
+            array_node[1].extend(
+                t for t in (x.strip() for x in body.split(",")) if t)
+            if closing:
+                node, vals = array_node
+                arr = (np.asarray([float(v) for v in vals], np.float64)
+                       if any(("." in v or "e" in v or "E" in v)
+                              for v in vals)
+                       else np.asarray([int(v) for v in vals], np.int64))
+                node.props = [arr]
+                array_node = None
+            continue
+        if s == "}":
+            stack.pop()
+            continue
+        m = re.match(r"^([A-Za-z_][\w ]*):\s*(.*)$", s)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2).strip()
+        opens = rest.endswith("{")
+        if opens:
+            rest = rest[:-1].strip()
+        node = _Node(name, [], [])
+        stack[-1].append(node)
+        if rest.startswith("*"):
+            # array header: '*N {' — contents come from 'a:' lines
+            if opens:
+                array_node = (node, [])
+            continue
+        node.props = _split_props(rest)
+        if opens:
+            stack.append(node.children)
+    return stack[0], version
 
 
 def _p70(node):

@@ -226,10 +226,59 @@ def test_fbx_renders(tmp_path):
     assert int((np.asarray(out["tri_id"]) >= 0).sum()) > 0
 
 
-def test_fbx_rejects_ascii(tmp_path):
+ASCII_CUBE = """; FBX 7.4.0 project file
+FBXHeaderExtension:  {
+    FBXVersion: 7400
+}
+Objects:  {
+    Geometry: 1001, "Geometry::cube", "Mesh" {
+        Vertices: *12 {
+            a: -1,-1,0,1,-1,0,1,1,0,-1,1,0
+        }
+        PolygonVertexIndex: *4 {
+            a: 0,1,2,-4
+        }
+        LayerElementNormal: 0 {
+            MappingInformationType: "ByPolygonVertex"
+            ReferenceInformationType: "Direct"
+            Normals: *12 {
+                a: 0,0,1.0,0,0,1.0,0,0,1.0,0,0,1.0
+            }
+        }
+    }
+    Model: 2001, "Model::cube", "Mesh" {
+        Properties70:  {
+            P: "Lcl Translation", "Lcl Translation", "", "A",5.0,0,0
+        }
+    }
+    Material: 3001, "Material::m", "" {
+        Properties70:  {
+            P: "DiffuseColor", "Color", "", "A",0.1,0.2,0.3
+        }
+    }
+}
+Connections:  {
+    C: "OO",1001,2001
+    C: "OO",3001,2001
+}
+"""
+
+
+def test_fbx_ascii_import(tmp_path):
     p = tmp_path / "a.fbx"
-    p.write_text("; FBX 7.4.0 project file\nFBXHeaderExtension: {}\n")
-    with pytest.raises(ValueError, match="ASCII"):
+    p.write_text(ASCII_CUBE)
+    scene = import_fbx(str(p))
+    assert int(scene.num_triangles) == 2  # one quad fan-triangulated
+    pos = np.asarray(scene.positions).reshape(-1, 3)
+    assert abs(pos[:, 0].mean() - 5.0) < 1e-5  # Lcl Translation applied
+    np.testing.assert_allclose(np.asarray(scene.mat_base_color)[0],
+                               [0.1, 0.2, 0.3], atol=1e-6)
+
+
+def test_fbx_rejects_garbage(tmp_path):
+    p = tmp_path / "a.fbx"
+    p.write_text("this is not an fbx file at all")
+    with pytest.raises(ValueError):
         import_fbx(str(p))
 
 

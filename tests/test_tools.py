@@ -303,3 +303,45 @@ def test_emissive_virtual_lights():
     run_script("scripts/Forward.py", m)
     m.loadScene("CornellBox")
     assert int(m.scene.num_lights) > n0
+
+
+def test_plugin_loading(tmp_path):
+    """Runtime pass plugins (reference PluginRegistry / FALCOR_PLUGIN_CLASS,
+    Core/Plugin.h): a .py plugin registers a pass usable from graph
+    scripts."""
+    import numpy as np
+    from rtsdm_tpu.mogwai import Renderer, load_plugins, run_script
+    from rtsdm_tpu.rendergraph.render_pass import PASS_REGISTRY
+
+    plug = tmp_path / "invert_pass.py"
+    plug.write_text(
+        "from rtsdm_tpu.rendergraph.render_pass import (RenderPass,\n"
+        "    PassReflection, register_pass)\n\n"
+        "@register_pass('InvertColors')\n"
+        "class InvertColors(RenderPass):\n"
+        "    SCHEMA = dict()\n"
+        "    def reflect(self, ctx):\n"
+        "        return (PassReflection().add_input('src')\n"
+        "                .add_output('dst'))\n"
+        "    def execute(self, ctx, inputs, state=None):\n"
+        "        return {'dst': 1.0 - inputs['src']}, None\n")
+    new = load_plugins([str(tmp_path)])
+    assert new == ["InvertColors"]
+    assert "InvertColors" in PASS_REGISTRY
+
+    script = tmp_path / "graph.py"
+    script.write_text(
+        "from falcor import *\n"
+        "g = RenderGraph('P')\n"
+        "g.create_pass('GBuf', 'GBufferRaster', {})\n"
+        "g.create_pass('Inv', 'InvertColors', {})\n"
+        "g.add_edge('GBuf.depth', 'Inv.src')\n"
+        "g.mark_output('Inv.dst')\n"
+        "m.addGraph(g)\n")
+    m = Renderer(width=32, height=32)
+    run_script(str(script), m)
+    m.loadScene("CornellBox")
+    out = m.renderFrame()
+    key = next(iter(out))
+    assert np.asarray(out[key]).shape[:2] == (32, 32)
+    PASS_REGISTRY.pop("InvertColors", None)
