@@ -81,6 +81,10 @@ def run_test(path, refs_dir=DEFAULT_REFS, generate=False):
 
     errors = {}
     status = "pass"
+    if not captures:
+        # OUTPUTS filtered everything away (typo'd name) — fail loudly
+        return dict(name=name, status="fail",
+                    errors={"<no outputs captured>": 1.0}, tolerance=tol)
     os.makedirs(refs_dir, exist_ok=True)
     for key, img in captures.items():
         ref_path = os.path.join(refs_dir, f"{name}.{key}.npy")
@@ -157,6 +161,13 @@ def write_report(report, out_dir, refs_dir=DEFAULT_REFS):
 
 def main(argv=None):
     import argparse
+
+    # goldens are CPU-canonical: the pytest tier compares on the virtual CPU
+    # mesh (tests/conftest.py), so references must be generated there too —
+    # TPU numerics differ slightly and the axon default would also hang this
+    # tool whenever the tunnel is down (CLAUDE.md gotchas)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--tests-dir", default=DEFAULT_TESTS)
     ap.add_argument("--refs", default=DEFAULT_REFS)
