@@ -342,3 +342,29 @@ def flat_fetch(tri_id, per_tri):
     """Fetch a flat (per-triangle) attribute; background gets 0/first entry
     masked by caller via tri_id < 0."""
     return per_tri[jnp.maximum(tri_id, 0)]
+
+
+def fetch_vertex_attributes(tri_id, bary, interp=(), flats=()):
+    """Batched attribute materialization for a winner image.
+
+    interp: [T,3,C] vertex tables (barycentric-combined); flats: [T]/[T,C]
+    per-triangle tables. Returns the channels in order. Small tables use the
+    XLA gathers below; at scale on TPU this routes to the Pallas one-hot MXU
+    fetch (raster_pallas.fetch_attributes_pallas) — per-pixel gathers from a
+    big table run at ~1e8 elem/s on TPU and would cost ~0.7 s/frame for the
+    full G-buffer channel set at 1080p/323k tris. Background rows come back
+    0 for interp tables (same contract as interpolate); flats are unmasked
+    for small tables and 0 at scale — callers mask on tri_id < 0 either way."""
+    tabs = list(interp) + list(flats)
+    t = tabs[0].shape[0]
+    if (t > PALLAS_RASTER_MIN_TRIS
+            and jax.devices()[0].platform not in ("cpu",)):
+        from .raster_pallas import fetch_attributes_pallas
+        out = fetch_attributes_pallas(tri_id, bary, list(interp), list(flats))
+        res = out[:len(interp)]
+        for f, o in zip(flats, out[len(interp):]):
+            res.append(o.astype(f.dtype)
+                       if jnp.issubdtype(f.dtype, jnp.integer) else o)
+        return res
+    return ([interpolate(tri_id, bary, a) for a in interp]
+            + [flat_fetch(tri_id, f) for f in flats])

@@ -475,3 +475,181 @@ def rasterize_pallas(view_proj, positions, *, width: int, height: int,
     overflow = jnp.maximum(counts - lists.shape[1], 0).sum()
     return {"tri_id": tri_id, "bary": bary, "depth": depth,
             "overflow": overflow}
+
+# ---------------------------------------------------------------------------
+# Deferred attribute materialization — the "shading gather" done TPU-native.
+#
+# After the visibility raster (or the RT vbuffer), every G-buffer channel is
+# an attribute fetch indexed by the per-pixel winning triangle. The XLA form
+# (ops/raster.py:interpolate — `vertex_attr[tri_id]`) is a per-pixel gather
+# from a [T,3,C] table: TPU has no hardware gather, and at 1080p / 323k
+# triangles the full channel set costs ~0.7 s/frame. This path instead:
+#
+#   * keeps all attributes in ONE [n_chunks, NR, TC] HBM table in the
+#     scene's morton chunk order (pure reshape of the scene arrays — no
+#     per-frame permutation),
+#   * computes, per 8x32 pixel block, the exact list of chunks that won at
+#     least one pixel (sort + unique over the block's 256 winner ids — a
+#     block needs ~1-6 chunks on coherent visibility, never more than 256),
+#   * streams only those chunks into VMEM and extracts every attribute row
+#     of each pixel's winner with a single one-hot MXU matmul
+#     ([RB,TC] selection x [NR,TC]^T -> [RB,NR]) — the systolic array does
+#     the "gather", the VPU only does the barycentric combine.
+#
+# Reference equivalent: the pixel-shader attribute interpolation stage of
+# the raster G-buffer (Source/RenderPasses/GBuffer/GBufferRaster.3d.slang).
+
+
+def build_winner_chunk_lists(wchunk, cap=RB):
+    """Per-block unique winner chunks. wchunk: [nb, RB] int32 original chunk
+    ids (-1 = background). Returns (lists [nb, cap] ascending-padded-with-0,
+    counts [nb]). Exact: a block of RB pixels can never need more than RB
+    distinct chunks, so cap=RB loses nothing."""
+    s = jnp.sort(wchunk, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones_like(s[:, :1], dtype=bool), s[:, 1:] != s[:, :-1]], axis=1)
+    uniq = first & (s >= 0)
+    counts = uniq.sum(axis=1).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    keys = jnp.where(uniq, big - s, 0)
+    cap = min(cap, s.shape[1])
+    vals, _ = jax.lax.top_k(keys, cap)            # descending keys
+    lists = jnp.where(vals > 0, big - vals, 0)    # ascending chunk ids
+    return lists, counts
+
+
+def _fetch_kernel(nci, nflat, nrp, ncop,
+                  count_ref, list_ref, wchunk_ref, wlane_ref, b1_ref, b2_ref,
+                  attr_hbm, out_ref, acc, scratch, sem):
+    cnt = count_ref[0, 0, 0]
+    wchunk = jnp.reshape(wchunk_ref[...], (RB, 1))
+    wlane = jnp.reshape(wlane_ref[...], (RB, 1))
+    b1 = jnp.reshape(b1_ref[...], (RB, 1))
+    b2 = jnp.reshape(b2_ref[...], (RB, 1))
+    b0 = 1.0 - b1 - b2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RB, TC), 1)
+
+    acc[...] = jnp.zeros((RB, nrp), jnp.float32)
+
+    def body(j, carry):
+        ci = list_ref[0, 0, j]
+        cp = pltpu.make_async_copy(attr_hbm.at[ci], scratch.at[0], sem.at[0])
+        cp.start()
+        sel = ((wchunk == ci) & (lane == wlane)).astype(jnp.float32)
+        cp.wait()
+        # one-hot row extraction on the MXU: [RB,TC] x [nrp,TC]^T -> [RB,nrp]
+        ext = jax.lax.dot_general(sel, scratch[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc[...] = acc[...] + ext
+        return carry
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+    a = acc[...]                                   # [RB, nrp]
+    cols = []
+    for i in range(nci):                           # barycentric combine
+        cols.append(b0[:, 0] * a[:, 3 * i] + b1[:, 0] * a[:, 3 * i + 1]
+                    + b2[:, 0] * a[:, 3 * i + 2])
+    for f in range(nflat):                         # per-triangle rows
+        cols.append(a[:, 3 * nci + f])
+    while len(cols) < ncop:
+        cols.append(jnp.zeros((RB,), jnp.float32))
+    out_ref[...] = jnp.stack(cols, axis=0)[None]   # [1, ncop, RB]
+
+
+def pack_attr_chunks(interp, flats):
+    """interp: list of [T,3,C] vertex attributes; flats: list of [T] or
+    [T,C] per-triangle attributes -> ([n_chunks, NR_pad, TC] HBM table,
+    nci, nflat). Row layout: comp-major, vertex inner (row 3i+v = component
+    i at vertex v), then the flat rows. Pure reshapes of the scene arrays —
+    the chunk order IS the scene triangle order."""
+    cols = []
+    for t in interp:
+        tt = jnp.swapaxes(t.astype(jnp.float32), 1, 2)   # [T, C, 3]
+        cols.append(tt.reshape(tt.shape[0], -1))         # comp-major
+    nci = sum(c.shape[1] for c in cols) // 3
+    nflat = 0
+    for f in flats:
+        ff = f.astype(jnp.float32)
+        ff = ff[:, None] if ff.ndim == 1 else ff
+        nflat += ff.shape[1]
+        cols.append(ff)
+    rows = jnp.concatenate(cols, axis=1)                 # [T, NR]
+    t, nr = rows.shape
+    nrp = nr + ((-nr) % 8)
+    tp = t + ((-t) % TC)
+    rows = jnp.pad(rows, ((0, tp - t), (0, nrp - nr)))
+    hbm = rows.T.reshape(nrp, tp // TC, TC).transpose(1, 0, 2)
+    return hbm, nci, nflat
+
+
+def fetch_attributes_pallas(tri_id, bary, interp, flats):
+    """Materialize interpolated + flat attributes for a winner image.
+
+    tri_id: [H,W] int32 original triangle ids (-1 background); bary [H,W,2].
+    interp: list of [T,3,C_i]; flats: list of [T] / [T,C].
+    Returns list of [H,W,C_i] (interp order) + list of [H,W] / [H,W,C]
+    (flats order); background pixels are 0 (callers mask, same contract as
+    ops/raster.py:interpolate / flat_fetch)."""
+    height, width = tri_id.shape
+    attr_hbm, nci, nflat = pack_attr_chunks(interp, flats)
+    nrp = attr_hbm.shape[1]
+    ncout = nci + nflat
+    ncop = ncout + ((-ncout) % 8)
+
+    tid_p, _ = pad_tile(tri_id, fill=-1)
+    hp, wp = tid_p.shape
+    nb = (hp // TILE_RH) * (wp // TILE_RW)
+    tid_t = tile_flatten(tid_p).reshape(nb, RB)
+    safe = jnp.maximum(tid_t, 0)
+    wchunk = jnp.where(tid_t >= 0, safe // TC, -1).astype(jnp.int32)
+    wlane = (safe % TC).astype(jnp.int32)
+    b_p, _ = pad_tile(bary, fill=0.0)
+    b_t = tile_flatten(b_p).reshape(nb, RB, 2)
+
+    lists, counts = build_winner_chunk_lists(wchunk)
+    lp = lists.shape[1] + ((-lists.shape[1]) % 8)
+    lists = jnp.pad(lists, ((0, 0), (0, lp - lists.shape[1])))
+
+    kernel = functools.partial(_fetch_kernel, nci, nflat, nrp, ncop)
+    count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)
+    list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    pix_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ncop, RB), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[count_spec, list_spec, pix_spec, pix_spec, pix_spec,
+                  pix_spec, pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, ncop, RB), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RB, nrp), jnp.float32),
+                        pltpu.VMEM((1, nrp, TC), jnp.float32),
+                        pltpu.SemaphoreType.DMA((1,))],
+    )(counts[:, None, None], lists[:, None, :],
+      wchunk[:, None, :], wlane[:, None, :],
+      b_t[..., 0][:, None, :], b_t[..., 1][:, None, :], attr_hbm)
+
+    def unt(a):
+        return tile_unflatten(a.reshape(nb * RB), hp, wp)[:height, :width]
+
+    comps = [unt(out[:, i, :]) for i in range(ncout)]
+    results = []
+    k = 0
+    for t in interp:
+        c = t.shape[2]
+        results.append(jnp.stack(comps[k:k + c], axis=-1))
+        k += c
+    for f in flats:
+        if f.ndim == 1:
+            results.append(comps[k])
+            k += 1
+        else:
+            results.append(jnp.stack(comps[k:k + f.shape[1]], axis=-1))
+            k += f.shape[1]
+    return results

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.raster import flat_fetch, interpolate, rasterize
+from ..ops.raster import fetch_vertex_attributes, rasterize
 from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
 from ..utils.math import normalize, transform_point
 
@@ -27,21 +27,26 @@ def raster_gbuffer(scene, width, height, cull="back", max_per_tile=256,
     tid, bary = vis["tri_id"], vis["bary"]
     hit = tid >= 0
 
-    pos_w = interpolate(tid, bary, scene.positions)          # [H,W,3]
-    norm_w = interpolate(tid, bary, scene.normals)
+    # one fused materialization for every channel (single chunk walk on the
+    # Pallas tier; identical XLA gathers below threshold)
+    interp = [scene.positions, scene.normals, scene.texcoords]
+    has_prev = scene.prev_positions is not None
+    if has_prev:
+        interp.append(scene.prev_positions)
+    fetched = fetch_vertex_attributes(
+        tid, bary, interp, [scene.face_normals(), scene.material_id])
+    pos_w, norm_w, tex_c = fetched[0], fetched[1], fetched[2]
     norm_w = jnp.where(hit[..., None], normalize(norm_w), 0.0)
-    tex_c = interpolate(tid, bary, scene.texcoords)
-    face_n = jnp.where(hit[..., None], flat_fetch(tid, scene.face_normals()), 0.0)
-    mtl = jnp.where(hit, flat_fetch(tid, scene.material_id), -1)
+    face_n = jnp.where(hit[..., None], fetched[-2], 0.0)
+    mtl = jnp.where(hit, fetched[-1], -1)
 
     # motion vectors: texC + mvec = previous-frame uv (consumed by TAA,
     # reference TAA.ps.slang:121-130); computed with the no-jitter matrices.
     # Animated geometry projects LAST frame's vertex positions (object
     # motion, reference GBuffer motion-vector path with prevPosW).
     h, w = tid.shape
-    if scene.prev_positions is not None:
-        prev_pos_w = interpolate(tid, bary, scene.prev_positions)
-        prev_pos_w = jnp.where(hit[..., None], prev_pos_w, pos_w)
+    if has_prev:
+        prev_pos_w = jnp.where(hit[..., None], fetched[3], pos_w)
     else:
         prev_pos_w = pos_w
     prev_clip = transform_point(cam.prev_view_proj_no_jitter, prev_pos_w)

@@ -178,3 +178,58 @@ def test_raster_pallas_matches_xla_tiles():
     # depths agree; ids agree except where coplanar tie-breaks differ
     assert np.abs(rz[both] - gz[both]).max() < 1e-5
     assert (rid[both] == gid[both]).mean() > 0.99
+
+
+def test_fetch_attributes_matches_interpolate_oracle():
+    """Deferred-materialize kernel (one-hot MXU fetch) == XLA interpolate/
+    flat_fetch on a full-coverage visibility buffer."""
+    from rtsdm_tpu.ops import raster_pallas as rpx
+    from rtsdm_tpu.ops.raster import rasterize, interpolate, flat_fetch
+    scene = cornell_box()
+    w = h = 96
+    vis = rasterize(scene.camera.view_proj_mat, scene.positions,
+                    width=w, height=h)
+    tid, bary = vis["tri_id"], vis["bary"]
+    with interpret_mode(rpx):
+        pos, nrm, uv, fn, mid = rpx.fetch_attributes_pallas(
+            tid, bary,
+            [scene.positions, scene.normals, scene.texcoords],
+            [scene.face_normals(), scene.material_id])
+    hit = np.asarray(tid) >= 0
+    assert hit.any()
+    np.testing.assert_allclose(np.asarray(pos),
+                               np.asarray(interpolate(tid, bary,
+                                                      scene.positions)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nrm),
+                               np.asarray(interpolate(tid, bary,
+                                                      scene.normals)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uv),
+                               np.asarray(interpolate(tid, bary,
+                                                      scene.texcoords)),
+                               atol=1e-5)
+    ref_fn = np.where(hit[..., None],
+                      np.asarray(flat_fetch(tid, scene.face_normals())), 0.0)
+    np.testing.assert_allclose(np.asarray(fn) * hit[..., None], ref_fn,
+                               atol=1e-6)
+    ref_mid = np.where(hit, np.asarray(flat_fetch(tid, scene.material_id)), 0)
+    np.testing.assert_array_equal(np.asarray(mid) * hit, ref_mid)
+
+
+def test_fetch_attributes_flat_only_vertex_rows():
+    """nci=0 mode (raw vertex rows as flats — the RT bary path)."""
+    from rtsdm_tpu.ops import raster_pallas as rpx
+    from rtsdm_tpu.ops.raster import rasterize
+    scene = cornell_box()
+    vis = rasterize(scene.camera.view_proj_mat, scene.positions,
+                    width=64, height=64)
+    tid = vis["tri_id"]
+    with interpret_mode(rpx):
+        (v9,) = rpx.fetch_attributes_pallas(
+            tid, jnp.zeros(tid.shape + (2,)), [],
+            [scene.positions.reshape(-1, 9)])
+    hit = np.asarray(tid) >= 0
+    ref = np.asarray(scene.positions.reshape(-1, 9))[
+        np.maximum(np.asarray(tid), 0)]
+    np.testing.assert_allclose(np.asarray(v9)[hit], ref[hit], atol=1e-6)
