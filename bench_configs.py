@@ -33,7 +33,7 @@ CONFIGS = [
 ]
 
 
-def run_config(c, frames=5):
+def run_config(c, frames=8):
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,24 +67,67 @@ def run_config(c, frames=5):
         m.clock.pause()
     tris = int(m.scene.num_triangles)
     t0 = time.perf_counter()
-    m.renderFrame()  # compile
+    m.renderFrame()  # builds _frame_fn/_state and compiles the single-frame path
     compile_s = time.perf_counter() - t0
-    # steady-state: frames back-to-back, inputs varied per frame (the clock
-    # advances -> traced frame_index/jitter change, defeating the axon
-    # memoization), ONE readback at the end. Per-frame host readbacks add a
-    # noisy ~30-60 ms tunnel stall each and measure the tunnel, not the
-    # frame (CLAUDE.md measurement rules).
+
+    # Steady-state: K frames inside ONE jit (lax.scan), state threaded,
+    # frame_index/time vary per step (jitter + temporal passes see fresh
+    # inputs -> the axon memoization stays honest), one scalar readback at
+    # the end. A per-frame renderFrame() loop measures the ~30-70 ms axon
+    # tunnel dispatch+sync per call, not the frame (CLAUDE.md rules; the r2
+    # committed numbers had exactly that flaw). For the animated config the
+    # camera path is baked into a stacked camera pytree indexed per step.
+    import jax.tree_util as jtu
+
+    graph = m.active_graph
+    rw, rh, gb = m._render_res()
+    fn = graph.frame_fn(rw, rh, dictionary={"guardBand": gb})
+    state0 = m._state
+    scene = m._scene_comp
+    dt = 1.0 / m.clock.framerate
+
+    cams = None
+    if c.get("animate"):
+        base = scene.camera
+        cam_list = [m.cameraPath.camera_at(i * dt, base, dt=dt,
+                                           aspect=float(base.aspect),
+                                           focal=float(base.focal_length))
+                    for i in range(frames)]
+        cams = jtu.tree_map(lambda *xs: jnp.stack(
+            [jnp.asarray(x, jnp.float32) for x in xs]), *cam_list)
+
+    def step(st, i):
+        sc = scene
+        if cams is not None:
+            sc = scene.with_camera(jtu.tree_map(lambda a: a[i % frames], cams))
+        marked, st2 = fn(sc, st, frame_index=i,
+                         time=i.astype(jnp.float32) * dt)
+        acc = sum(jnp.sum(v).astype(jnp.float32) for v in marked.values()
+                  if hasattr(v, "dtype"))
+        return st2, acc
+
+    @jax.jit
+    def k_frames(st, i0):
+        st, accs = jax.lax.scan(step, st, i0 + jnp.arange(frames))
+        return st, accs.sum()
+
     t0 = time.perf_counter()
-    out = None
-    for f in range(frames):
-        if not c.get("animate"):
-            m.clock.frame = f + 1
-        out = m.renderFrame()
-    acc = float(next(iter(out.values())).sum())
-    ms = (time.perf_counter() - t0) / frames * 1e3
-    return dict(name=c["name"], frame_ms=round(ms, 2),
+    stw, acc = k_frames(state0, jnp.int32(1))
+    jax.block_until_ready(acc)
+    compile_s += time.perf_counter() - t0
+
+    runs = []
+    st = stw
+    for r in range(3):
+        t0 = time.perf_counter()
+        st, acc = k_frames(st, jnp.int32(1 + frames * (r + 1)))
+        acc_f = float(acc)
+        runs.append((time.perf_counter() - t0) / frames * 1e3)
+    runs.sort()
+    return dict(name=c["name"], frame_ms=round(runs[len(runs) // 2], 2),
+                frame_ms_runs=[round(x, 2) for x in runs],
                 compile_s=round(compile_s, 1), triangles=tris,
-                readback=round(acc, 2),
+                readback=round(acc_f, 2),
                 resolution=f"{c['width']}x{c['height']}", scene=c["scene"])
 
 
