@@ -8,6 +8,7 @@ TPU design: all 16 deinterleave slices evaluated in one vectorized program
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,10 +37,48 @@ def _rotate2d(vec, theta):
                       vec[..., 0] * s + vec[..., 1] * c], axis=-1)
 
 
+MAX_SHIFT_REACH = 48  # quarter-res texels; ray lengths clamp here on the
+                      # shift path (a 48-texel reach = 192 full-res px —
+                      # far past the falloff radius at any sane config)
+
+
+def _fetch_slices(padded, pad, lvl, offs, qh, qw):
+    """Gather-free per-slice fetch: for each of the 16 deinterleave slices,
+    fetch its OWN plane at a static (dy,dx) offset chosen per pixel from a
+    quantized level table. Same design as ops/ao_shift.fetch_direction but
+    without cross-class remapping (HBAO samples within one slice,
+    HBAO.ps.slang:165 textureLod on the slice's own texture).
+
+    padded: [16, qh+2p, qw+2p]; lvl: [16,qh,qw] int32; offs: static
+    [(dy,dx)] per slice per level. Returns [16,qh,qw]."""
+    import numpy as np
+    padded = jax.lax.optimization_barrier(padded)
+    lvl = jax.lax.optimization_barrier(lvl)
+    n_levels = len(offs[0])
+    tab = np.zeros((n_levels, 16, 2), np.int32)
+    for s in range(16):
+        for l, (dy, dx) in enumerate(offs[s]):
+            tab[l, s] = (pad + max(-pad, min(pad, dy)),
+                         pad + max(-pad, min(pad, dx)))
+    tab = jnp.asarray(tab)
+
+    def body(acc, l):
+        t = tab[l]
+        new = [jnp.where(lvl[s] == l,
+                         jax.lax.dynamic_slice(
+                             padded, (s, t[s, 0], t[s, 1]), (1, qh, qw))[0],
+                         acc[s])
+               for s in range(16)]
+        return jnp.stack(new), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((16, qh, qw)), jnp.arange(n_levels))
+    return out
+
+
 @register_pass("HBAO")
 class HBAO(RenderPass):
     SCHEMA = dict(radius=1.0, depthMode="SingleDepth", depthBias=0.1,
-                  exponent=2.0)
+                  exponent=2.0, samplingMode="Auto")
 
     def reflect(self, ctx):
         return (PassReflection()
@@ -79,12 +118,19 @@ class HBAO(RenderPass):
         lin_z = depth_q
         view_pos = cam.uv_to_view_space(uv, lin_z)
 
-        # view-space normal from the full-res world normal, sampled at uv
+        # view-space normal from the full-res world normal, sampled at uv.
+        # When the normal buffer matches the render res the fetch IS the 4x4
+        # deinterleave (pure reshapes) — the gather only survives on
+        # mismatched sizes.
         normal_w = inputs["normals"][..., :3]
         nh, nw = normal_w.shape[:2]
-        ny = jnp.clip((uv[..., 1] * nh).astype(jnp.int32), 0, nh - 1)
-        nx = jnp.clip((uv[..., 0] * nw).astype(jnp.int32), 0, nw - 1)
-        n_w = normal_w[ny, nx]
+        if (nh, nw) == (ctx.height, ctx.width) and nh % 4 == 0 and nw % 4 == 0:
+            from ..ops.ao_shift import deinterleave
+            n_w = deinterleave(normal_w)[:, :qh, :qw]
+        else:
+            ny = jnp.clip((uv[..., 1] * nh).astype(jnp.int32), 0, nh - 1)
+            nx = jnp.clip((uv[..., 0] * nw).astype(jnp.int32), 0, nw - 1)
+            n_w = normal_w[ny, nx]
         n_v = normalize(transform_vector(cam.view_mat, n_w))
         flip = jnp.sum(view_pos * n_v, -1, keepdims=True) > 0.0
         n_v = jnp.where(flip, -n_v, n_v)
@@ -113,15 +159,68 @@ class HBAO(RenderPass):
         base_q = jnp.stack([jnp.broadcast_to(qx[None, None, :], lin_z.shape),
                             jnp.broadcast_to(qy[None, :, None], lin_z.shape)], -1)
 
+        sm = self.cfg["samplingMode"]
+        use_shift = (sm == "Shift" or
+                     (sm == "Auto"
+                      and jax.devices()[0].platform not in ("cpu",)))
+
+        def sample_pair(i, k, ray_px, direction_np=None, direction=None,
+                        shift_ctx=None):
+            """One (direction, step) tap -> (z1, z2-or-None, s_uv)."""
+            if shift_ctx is None:                       # exact gather path
+                off = jnp.round(ray_px[..., None]
+                                * direction[:, None, None, :])
+                sq = (base_q + off).astype(jnp.int32)
+                s_uv = uv + off * 4.0 * inv_res
+                z1 = sample_depth(depth_q, sq)
+                z2 = sample_depth(depth2_q, sq) if mode == 1 else None
+                return z1, z2, s_uv
+            # gather-free path: quantize |off| onto the static level table,
+            # fetch via per-slice static slices (TPU has no hardware gather —
+            # the 32 per-pixel fetches of this ring cost more than the rest
+            # of the pass combined; same design as ops/ao_shift.py)
+            from ..ops import ao as A
+            from ..ops.ao_shift import level_radius
+            levels, dq_pad, d2_pad, pad = shift_ctx
+            m = jnp.clip(ray_px, 1.0, float(MAX_SHIFT_REACH))
+            lvl = A.shift_level_index(levels, m)
+            offs = [[(int(round(float(r) * direction_np[s, 1])),
+                      int(round(float(r) * direction_np[s, 0])))
+                     for r in levels] for s in range(16)]
+            z1 = _fetch_slices(dq_pad, pad, lvl, offs, qh, qw)
+            z2 = (_fetch_slices(d2_pad, pad, lvl, offs, qh, qw)
+                  if mode == 1 else None)
+            r_q = level_radius(levels, lvl)
+            d_b = jnp.asarray(direction_np)[:, None, None, :]
+            off_eff = jnp.round(r_q[..., None] * d_b)  # == the table entry
+            s_uv = uv + off_eff * 4.0 * inv_res
+            return z1, z2, s_uv
+
+        shift_ctx = None
+        if use_shift:
+            from ..ops import ao as A
+            from ..ops.ao_shift import pad_planes
+            levels = A.shift_radius_levels(float(MAX_SHIFT_REACH))
+            pad = int(np.ceil(levels[-1]))
+            dq_pad = pad_planes(depth_q, pad)
+            d2_pad = pad_planes(depth2_q, pad) if mode == 1 else None
+            shift_ctx = (levels, dq_pad, d2_pad, pad)
+
         ao = jnp.zeros(lin_z.shape + (2,), jnp.float32)
         for i in range(NUM_DIRECTIONS):
-            direction = _rotate2d(rand[:, 0:2], alpha * float(i))  # [16,2]
+            theta = alpha * float(i)
+            c_np, s_np = np.cos(theta), np.sin(theta)
+            direction_np = np.stack(
+                [HBAO_NOISE[:, 0] * c_np - HBAO_NOISE[:, 1] * s_np,
+                 HBAO_NOISE[:, 0] * s_np + HBAO_NOISE[:, 1] * c_np],
+                axis=-1).astype(np.float32)            # static [16,2]
+            direction = jnp.asarray(direction_np)
             ray_px = rand[:, 2][:, None, None] * step_px + 1.0
-            for _ in range(NUM_STEPS):
-                off = jnp.round(ray_px[..., None] * direction[:, None, None, :])
-                sq = (base_q + off).astype(jnp.int32)
-                s_uv = uv + off * 4.0 * inv_res  # full-res uv of snapped sample
-                z1 = sample_depth(depth_q, sq)
+            for k in range(NUM_STEPS):
+                z1, z2, s_uv = sample_pair(i, k, ray_px,
+                                           direction_np=direction_np,
+                                           direction=direction,
+                                           shift_ctx=shift_ctx)
                 s1 = cam.uv_to_view_space(s_uv, z1)
                 ao1, angle, fall_x = compute_ao(s1)
                 if mode == 1:
@@ -129,7 +228,6 @@ class HBAO(RenderPass):
                     # radius but in the positive hemisphere (RecomputeAO,
                     # HBAO.ps.slang:122-132,190-202)
                     need = (angle > 0.0) & (fall_x <= 0.0)
-                    z2 = sample_depth(depth2_q, sq)
                     s2 = cam.uv_to_view_space(s_uv, z2)
                     ao2, _, _ = compute_ao(s2)
                     ao1 = jnp.where(need[..., None], jnp.maximum(ao1, ao2), ao1)
