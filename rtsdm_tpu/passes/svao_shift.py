@@ -169,10 +169,21 @@ def _hbao_vis(cfg, b, sx_, sy_, sz_, pdf):
     return jnp.clip(angle * dist / pdf, 0.0, 1.0)
 
 
+FUSED_FETCH = "auto"  # "auto" (Pallas fused fetch on TPU) | "on" | "off"
+
+
+def _use_fused_fetch():
+    if FUSED_FETCH == "auto":
+        return jax.devices()[0].platform not in ("cpu",)
+    return FUSED_FETCH == "on"
+
+
 def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
-                depth2_pp=None):
+                depth2_pp=None, fetched_pre=None, fetched2_pre=None):
     """One ring direction: quantized fetch + sphere-slab sample data.
-    Returns dict of planes."""
+    Returns dict of planes. fetched_pre/fetched2_pre: [16,qh,qw] planes from
+    the fused all-direction Pallas fetch (ops/fetch_pallas.py) — bit-identical
+    to the per-direction scan below, HBM traffic /(nd*L)."""
     hp, wp = b["hp"], b["wp"]
     qh, qw = hp // 4, wp // 4
     w, h = cfg.resolution
@@ -180,8 +191,11 @@ def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
     m_i = b["radius_px"] * r_frac
     lvl = A.shift_level_index(levels, m_i)
     lvl_p = S.deinterleave(lvl)
-    fetched = S.interleave(S.fetch_direction(depth_pp, pad, lvl_p, offs_i,
-                                             qh, qw), hp, wp)
+    if fetched_pre is not None:
+        fetched = S.interleave(fetched_pre, hp, wp)
+    else:
+        fetched = S.interleave(S.fetch_direction(depth_pp, pad, lvl_p, offs_i,
+                                                 qh, qw), hp, wp)
     r_eff = S.level_radius(levels, lvl)
     ux_m, uy_m = S.class_dir_maps(cfg, alpha, hp, wp)
     off_x = jnp.rint(r_eff * ux_m)
@@ -220,7 +234,14 @@ def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
 
     vis, oz = eval_layer(fetched)
     vis2 = oz2 = None
-    if depth2_pp is not None:
+    if fetched2_pre is not None:
+        f2 = S.interleave(fetched2_pre, hp, wp)
+        v2, o2 = eval_layer(f2)
+        if cfg.kernel == AO_KERNEL_VAO:
+            vis2, oz2 = jnp.minimum(vis, v2), jnp.minimum(oz, o2)
+        else:
+            vis2, oz2 = jnp.maximum(vis, v2), jnp.minimum(oz, o2)
+    elif depth2_pp is not None:
         f2 = S.interleave(S.fetch_direction(depth2_pp, pad, lvl_p, offs_i,
                                             qh, qw), hp, wp)
         v2, o2 = eval_layer(f2)
@@ -285,10 +306,21 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
     pix_rmin = jnp.full((hp, wp), A.FLT_MAX)
     pix_rmax = jnp.zeros((hp, wp))
 
+    fetch_pre = fetch2_pre = [None] * nd
+    if _use_fused_fetch():
+        from ..ops.fetch_pallas import fetch_all_directions
+        sets = [depth_pp] + ([depth2_pp] if dual else [])
+        fa = fetch_all_directions(sets, pad, S.deinterleave(b["radius_px"]),
+                                  levels, offs, radii)
+        fetch_pre = list(fa[0])
+        if dual:
+            fetch2_pre = list(fa[1])
+
     for i in range(nd):
         alpha = (i / nd) * 2.0 * 3.141
         s = _sample_dir(cam, cfg, b, depth_pp, pad, offs[i], levels,
-                        float(radii[i]), alpha, depth2_pp)
+                        float(radii[i]), alpha, depth2_pp,
+                        fetched_pre=fetch_pre[i], fetched2_pre=fetch2_pre[i])
         vis, oz = s["vis"], s["oz"]
         if dual:
             need2 = _require_ray(cfg, b, s, oz)
@@ -409,12 +441,21 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
     jit_x = jnp.repeat(jnp.repeat(jit_q[..., 0], 4, axis=0), 4, axis=1)
     jit_y = jnp.repeat(jnp.repeat(jit_q[..., 1], 4, axis=0), 4, axis=1)
 
+    fetch_pre = [None] * nd
+    if _use_fused_fetch():
+        from ..ops.fetch_pallas import fetch_all_directions
+        fa = fetch_all_directions([layer_pp], pad,
+                                  S.deinterleave(b["radius_px"]),
+                                  levels, offs, radii)
+        fetch_pre = list(fa[0])
+
     delta = jnp.zeros((hp, wp))
     for i in range(nd):
         bit = ((stencil_pd >> i) & 1).astype(bool)
         alpha = (i / nd) * 2.0 * 3.141
         s = _sample_dir(cam, cfg, b, layer_pp, pad, offs[i], levels,
-                        float(radii[i]), alpha, None)
+                        float(radii[i]), alpha, None,
+                        fetched_pre=fetch_pre[i])
         old_vis = s["vis"]
         if cfg.kernel == AO_KERNEL_VAO:
             vis = jnp.where(s["in_screen"], s["vis"], 1.0)

@@ -233,3 +233,42 @@ def test_fetch_attributes_flat_only_vertex_rows():
     ref = np.asarray(scene.positions.reshape(-1, 9))[
         np.maximum(np.asarray(tid), 0)]
     np.testing.assert_allclose(np.asarray(v9)[hit], ref[hit], atol=1e-6)
+
+
+def test_fused_dir_fetch_matches_fetch_direction():
+    """ops/fetch_pallas.py fused all-direction fetch == per-direction
+    ao_shift.fetch_direction, bit-exact, all 8 directions + dual set."""
+    import rtsdm_tpu.ops.fetch_pallas as FP
+    import rtsdm_tpu.ops.ao_shift as S
+    import rtsdm_tpu.ops.ao as A
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    depth = jnp.asarray(rng.uniform(1.0, 20.0, (h, w)).astype(np.float32))
+    depth2 = depth + 0.5
+    radius_px = jnp.asarray(
+        rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
+
+    class Cfg:
+        num_directions = 8
+
+        def radii(self):
+            return [((i % 4) + 1) / 4.0 for i in range(8)]
+
+    levels, offs, radii = S.offset_tables(Cfg(), 64.0)
+    pad = int(-(-float(levels[-1]) // 4)) + 1
+    qh, qw = h // 4, w // 4
+    dpp = S.pad_planes(S.deinterleave(depth), pad)
+    d2pp = S.pad_planes(S.deinterleave(depth2), pad)
+    rq = S.deinterleave(radius_px)
+
+    with interpret_mode(FP):
+        got1, got2 = FP.fetch_all_directions([dpp, d2pp], pad, rq,
+                                             levels, offs, radii)
+    for i in range(8):
+        lvl_p = S.deinterleave(A.shift_level_index(levels,
+                                                   radius_px * radii[i]))
+        ref1 = S.fetch_direction(dpp, pad, lvl_p, offs[i], qh, qw)
+        ref2 = S.fetch_direction(d2pp, pad, lvl_p, offs[i], qh, qw)
+        np.testing.assert_array_equal(np.asarray(got1[i]), np.asarray(ref1))
+        np.testing.assert_array_equal(np.asarray(got2[i]), np.asarray(ref2))
