@@ -157,3 +157,135 @@ def fetch_all_directions(padded_sets, pad, radius_px_q, levels, offs, radii):
                             levels_key=levels_key, offs_key=offs_key,
                             radii_key=radii_key, nd=nd)
     return [out[s] for s in range(len(padded_sets))]
+
+
+# ---------------------------------------------------------------------------
+# SD-map variant (phase 2): k depth slots per texel, divisor-4 geometry.
+# fetch_sd_direction streams acc [16,k,qh,qw] through HBM once per level
+# group per direction (~10 GB/frame at 1080p, the bulk of phase 2); here one
+# halo DMA per (direction, tile) serves all levels from VMEM.
+
+
+def _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw):
+    """Static per-(dir, level, class) TILE-LOCAL slice origin, derived from
+    the global origin fetch_sd_direction uses for divisor=4 (stride 1: sd
+    texel of full-res pixel 4q+c+d = q + (c+d)//4 + guard; the whole output
+    plane is one shifted slice, so local = global - (guard - pad)).
+
+    Returns (tab, ok): ok=False when a global edge clamp pushes an origin
+    outside the tile halo (tiny SD maps with guard < pad) — the caller then
+    falls back to the XLA tier."""
+    nd = len(offs)
+    n_levels = len(offs[0][0])
+    tab = np.zeros((nd, n_levels, 16, 2), np.int32)
+    ok = True
+    for i in range(nd):
+        for c in range(16):
+            cy, cx = c // 4, c % 4
+            for l, (dy, dx) in enumerate(offs[i][c]):
+                y0 = max(0, min((cy + dy) // 4 + guard, sd_h - 1 - (qh - 1)))
+                x0 = max(0, min((cx + dx) // 4 + guard, sd_w - 1 - (qw - 1)))
+                ly = y0 - guard + pad
+                lx = x0 - guard + pad
+                if not (0 <= ly <= 2 * pad and 0 <= lx <= 2 * pad):
+                    ok = False
+                tab[i, l, c] = (max(0, min(ly, 2 * pad)),
+                                max(0, min(lx, 2 * pad)))
+    return tab, ok
+
+
+def _fetch_sd_kernel(k, n_levels, pad, guard, tab, bounds, r_frac,
+                     radius_ref, sd_hbm, out_ref, scratch, sem):
+    i = pl.program_id(0)
+    by = pl.program_id(1)
+    bx = pl.program_id(2)
+    # tile origin in SD rows: out row ty+y maps to sd row y0 + ty + y with
+    # y0 in [guard-pad, guard+pad] (clamping only bites at the map edge,
+    # where the guard band is dead anyway)
+    y_lo = by * TH + guard - pad
+    x_lo = bx * TW + guard - pad
+    pltpu.make_async_copy(
+        sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad), pl.ds(x_lo, TW + 2 * pad)],
+        scratch, sem).start()
+    pltpu.make_async_copy(
+        sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad), pl.ds(x_lo, TW + 2 * pad)],
+        scratch, sem).wait()
+
+    radius = radius_ref[...]                        # [16, TH, TW]
+    big = scratch[...]                              # [k, TH+2p, TW+2p]
+
+    def dir_body(di):
+        m = radius * r_frac[di]
+        lvl = jnp.zeros((16, TH, TW), jnp.int32)
+        for b in bounds:
+            lvl = lvl + (m > b).astype(jnp.int32)
+        acc = jnp.zeros((16, k, TH, TW), jnp.float32)
+        for l in range(n_levels):
+            sls = []
+            for c in range(16):
+                dy = tab[di, l, c, 0]
+                dx = tab[di, l, c, 1]
+                sls.append(jax.lax.dynamic_slice(
+                    big, (0, dy, dx), (k, TH, TW)))
+            sl = jnp.stack(sls)                     # [16,k,TH,TW]
+            acc = jnp.where((lvl == l)[:, None], sl, acc)
+        return acc
+
+    # one branch per direction keeps the static slice tables per-dir while
+    # the grid stays data-parallel over (dir, tile)
+    acc = dir_body(0)
+    for di in range(1, tab.shape[0]):
+        acc = jnp.where(i == di, dir_body(di), acc)
+    out_ref[...] = acc[None]
+
+
+def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
+                            pad):
+    """All-direction SD fetch, divisor=4 only. sd_map: [sd_h, sd_w, k]
+    guard-banded; returns [nd, 16, k, qh, qw] — entry [i] equals
+    ao_shift.fetch_sd_direction(sd_map, lvl_p_i, offs[i], guard, qh, qw, 4).
+    Caller falls back to the XLA tier for divisor 1/2."""
+    nd = len(offs)
+    qh, qw = radius_px_q.shape[1:]
+    k = sd_map.shape[-1]
+    sd_pl = jnp.moveaxis(sd_map, -1, 0)             # [k, sd_h, sd_w]
+    sd_h, sd_w = sd_pl.shape[1:]
+    n_levels = len(levels)
+    bounds = tuple(float(b) for b in
+                   np.sqrt(np.asarray(levels[:-1], np.float64)
+                           * np.asarray(levels[1:], np.float64)))
+    r_frac = tuple(float(r) for r in radii)
+    tab, ok = _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw)
+    if not ok:
+        return None
+
+    hp = qh + (-qh) % TH
+    wp = qw + (-qw) % TW
+    radius_p = jnp.pad(radius_px_q, ((0, 0), (0, hp - qh), (0, wp - qw)))
+    # pad the SD planes so every halo DMA is in bounds: rows up to
+    # hp + guard + pad, plus pad below guard-pad if guard < pad
+    lo = max(0, pad - guard)
+    hi_y = max(0, hp + guard + pad - sd_h + lo)
+    hi_x = max(0, wp + guard + pad - sd_w + lo)
+    sd_pad = jnp.pad(sd_pl, ((0, 0), (lo, hi_y), (lo, hi_x)), mode="edge")
+    guard_k = guard + lo
+
+    nby, nbx = hp // TH, wp // TW
+    kernel = functools.partial(_fetch_sd_kernel, k, n_levels, pad, guard_k,
+                               tab, bounds, r_frac)
+    rad_spec = pl.BlockSpec((16, TH, TW), lambda i, j, l: (0, j, l),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 16, k, TH, TW),
+                            lambda i, j, l: (i, 0, 0, j, l),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nd, nby, nbx),
+        in_specs=[rad_spec, pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nd, 16, k, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, TH + 2 * pad, TW + 2 * pad),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(radius_p, sd_pad)
+    return out[..., :qh, :qw]

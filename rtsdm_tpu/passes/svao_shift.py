@@ -442,12 +442,16 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
     jit_y = jnp.repeat(jnp.repeat(jit_q[..., 1], 4, axis=0), 4, axis=1)
 
     fetch_pre = [None] * nd
+    sd_pre = None
     if _use_fused_fetch():
-        from ..ops.fetch_pallas import fetch_all_directions
-        fa = fetch_all_directions([layer_pp], pad,
-                                  S.deinterleave(b["radius_px"]),
-                                  levels, offs, radii)
+        from ..ops.fetch_pallas import (fetch_all_directions,
+                                        fetch_sd_all_directions)
+        rq = S.deinterleave(b["radius_px"])
+        fa = fetch_all_directions([layer_pp], pad, rq, levels, offs, radii)
         fetch_pre = list(fa[0])
+        if divisor == 4:
+            sd_pre = fetch_sd_all_directions(sd_map, g, rq, levels, offs,
+                                             radii, pad)
 
     delta = jnp.zeros((hp, wp))
     for i in range(nd):
@@ -463,8 +467,9 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
             vis = jnp.where(s["in_screen"], s["vis"], 0.0)
         oz = jnp.where(s["in_screen"], s["oz"], A.FLT_MAX)
 
-        sd_p = S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g, qh, qw,
-                                    divisor)        # [16, k, qh, qw] planar
+        sd_p = (sd_pre[i] if sd_pre is not None
+                else S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g,
+                                          qh, qw, divisor))  # [16,k,qh,qw]
         sd_layers = [S.interleave(sd_p[:, kk], hp, wp) for kk in range(k)]
         # sd sample uv (Common.slang:569): texel + jitter over lowRes
         tex_x = jnp.floor((xg + s["off_x"]) / float(divisor))

@@ -272,3 +272,38 @@ def test_fused_dir_fetch_matches_fetch_direction():
         ref2 = S.fetch_direction(d2pp, pad, lvl_p, offs[i], qh, qw)
         np.testing.assert_array_equal(np.asarray(got1[i]), np.asarray(ref1))
         np.testing.assert_array_equal(np.asarray(got2[i]), np.asarray(ref2))
+
+
+def test_fused_sd_fetch_matches_fetch_sd_direction():
+    """fetch_sd_all_directions (divisor 4) == fetch_sd_direction, bit-exact."""
+    import rtsdm_tpu.ops.fetch_pallas as FP
+    import rtsdm_tpu.ops.ao_shift as S
+    import rtsdm_tpu.ops.ao as A
+
+    rng = np.random.default_rng(11)
+    h, w = 64, 128
+    qh, qw = h // 4, w // 4
+    guard, k = 24, 4
+    sd_map = jnp.asarray(rng.uniform(0.0, 50.0, (qh + 2 * guard,
+                                                 qw + 2 * guard, k))
+                         .astype(np.float32))
+    radius_px = jnp.asarray(rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
+
+    class Cfg:
+        num_directions = 8
+
+        def radii(self):
+            return [((i % 4) + 1) / 4.0 for i in range(8)]
+
+    levels, offs, radii = S.offset_tables(Cfg(), 64.0)
+    pad = int(-(-float(levels[-1]) // 4)) + 1
+    rq = S.deinterleave(radius_px)
+    with interpret_mode(FP):
+        got = FP.fetch_sd_all_directions(sd_map, guard, rq, levels, offs,
+                                         radii, pad)
+    assert got is not None
+    for i in range(8):
+        lvl_p = S.deinterleave(A.shift_level_index(levels,
+                                                   radius_px * radii[i]))
+        ref = S.fetch_sd_direction(sd_map, lvl_p, offs[i], guard, qh, qw, 4)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
