@@ -31,6 +31,11 @@ def _shift(a, dy, dx):
     return shift2d_clamped(a, dy, dx)
 
 
+def _use_warp_kernel():
+    import jax
+    return jax.devices()[0].platform not in ("cpu",)
+
+
 def _bilinear(tex, uv):
     """[H,W,C] linear sample at uv."""
     h, w = tex.shape[:2]
@@ -125,7 +130,19 @@ class TAA(RenderPass):
 
         uv = _grid_uv(h, w)
         sample_pos = (uv + motion) * jnp.asarray([w, h], jnp.float32)
-        hist = rgb_to_ycgco(_catmull_rom(prev, sample_pos))
+        if _use_warp_kernel():
+            # TPU: the 9-tap CR fetch is ~100M gathered elements at 720p
+            # (~1 s) as XLA; the warp kernel does it gather-free
+            # (ops/warp_pallas.py). Fallback plane = current color: the
+            # variance clip bounds it exactly like a disocclusion.
+            from ..ops.warp_pallas import warp_resample_pallas
+            hist_rgb = warp_resample_pallas(
+                jnp.moveaxis(prev, -1, 0), sample_pos[..., 0],
+                sample_pos[..., 1], jnp.moveaxis(color, -1, 0),
+                mode="catmull_rom")
+            hist = rgb_to_ycgco(jnp.moveaxis(hist_rgb, 0, -1))
+        else:
+            hist = rgb_to_ycgco(_catmull_rom(prev, sample_pos))
 
         alpha = jnp.float32(self.cfg["alpha"])
         if self.cfg["antiFlicker"]:
@@ -176,9 +193,22 @@ class TemporalAO(RenderPass):
         uv_max = 1.0 - uv_min
         in_area = jnp.all((prev_uv >= uv_min) & (prev_uv <= uv_max), -1)
 
-        px = jnp.clip((prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        py = jnp.clip((prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        prev_raw = state["prev_depth"][py, px]
+        if _use_warp_kernel():
+            from ..ops.warp_pallas import warp_resample_pallas
+            spx = prev_uv[..., 0] * w
+            spy = prev_uv[..., 1] * h
+            near = warp_resample_pallas(
+                jnp.stack([state["prev_depth"],
+                           state["history"].astype(jnp.float32)]),
+                spx, spy,
+                jnp.stack([depth, jnp.zeros_like(depth)]), mode="nearest")
+            prev_raw = near[0]
+            prev_n_f = near[1]
+        else:
+            px = jnp.clip((prev_uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+            py = jnp.clip((prev_uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+            prev_raw = state["prev_depth"][py, px]
+            prev_n_f = None
         # reproject previous view pos into the current view
         # (prevViewToCurView = viewMat * inverse(prevViewMat), ps.slang:84-86)
         prev_pos = cam.uv_to_view_space(prev_uv, prev_raw)
@@ -193,9 +223,17 @@ class TemporalAO(RenderPass):
         rel = jnp.abs(1.0 - prev_depth / jnp.maximum(depth, 1e-6))
         accept = state["valid"] & in_area & (rel < 0.1) & ~is_stable
 
-        prev_ao = _bilinear(state["prev_ao"][..., None], prev_uv)[..., 0]
-        prev_n = state["history"][py, px]
-        nf = prev_n.astype(jnp.float32)
+        if _use_warp_kernel():
+            from ..ops.warp_pallas import warp_resample_pallas
+            prev_ao = warp_resample_pallas(
+                state["prev_ao"][None], prev_uv[..., 0] * w,
+                prev_uv[..., 1] * h, ao[None], mode="bilinear")[0]
+            nf = prev_n_f
+            prev_n = nf.astype(jnp.uint32)
+        else:
+            prev_ao = _bilinear(state["prev_ao"][..., None], prev_uv)[..., 0]
+            prev_n = state["history"][py, px]
+            nf = prev_n.astype(jnp.float32)
         merged = (nf * prev_ao + ao) / (nf + 1.0)
         out = jnp.where(accept, merged, ao)
         n_out = jnp.where(accept, jnp.minimum(prev_n + 1, 30), 1).astype(jnp.uint32)

@@ -307,3 +307,37 @@ def test_fused_sd_fetch_matches_fetch_sd_direction():
                                                    radius_px * radii[i]))
         ref = S.fetch_sd_direction(sd_map, lvl_p, offs[i], guard, qh, qw, 4)
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+
+
+def test_warp_kernel_matches_xla_resample():
+    """ops/warp_pallas.py == temporal._catmull_rom/_bilinear (incl. edge
+    clamp + extreme out-of-bounds motion)."""
+    import rtsdm_tpu.ops.warp_pallas as WP
+    from rtsdm_tpu.passes.temporal import _bilinear, _catmull_rom, _grid_uv
+
+    rng = np.random.default_rng(5)
+    h, w = 48, 160
+    tex = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    mv = (np.stack([np.sin(np.linspace(0, 3, w))[None, :].repeat(h, 0),
+                    np.cos(np.linspace(0, 2, h))[:, None].repeat(w, 1)], -1)
+          * 6.0).astype(np.float32)
+    uv = np.asarray(_grid_uv(h, w))
+    sp = jnp.asarray((uv + mv / [w, h]) * np.asarray([w, h], np.float32))
+    texp = jnp.moveaxis(tex, -1, 0)
+    fb = jnp.full_like(texp, -9.0)
+    with interpret_mode(WP):
+        cr = WP.warp_resample_pallas(texp, sp[..., 0], sp[..., 1], fb,
+                                     mode="catmull_rom")
+        bl = WP.warp_resample_pallas(texp, sp[..., 0], sp[..., 1], fb,
+                                     mode="bilinear")
+        oob = WP.warp_resample_pallas(texp, sp[..., 0] + 500.0,
+                                      sp[..., 1] - 300.0, fb,
+                                      mode="catmull_rom")
+    ref_cr = _catmull_rom(tex, sp)
+    ref_bl = _bilinear(tex, jnp.asarray(uv + mv / [w, h]))
+    sp2u = (np.asarray(sp) + [500.0, -300.0]) / [w, h] * [w, h]
+    ref_oob = _catmull_rom(tex, jnp.asarray(sp2u))
+    assert np.abs(np.asarray(jnp.moveaxis(cr, 0, -1)) - ref_cr).max() < 1e-4
+    assert np.abs(np.asarray(jnp.moveaxis(bl, 0, -1)) - ref_bl).max() < 1e-4
+    assert np.abs(np.asarray(jnp.moveaxis(oob, 0, -1)) - ref_oob).max() < 1e-4
+    assert not (np.asarray(cr) == -9.0).any()  # no fallback on smooth motion
