@@ -118,29 +118,48 @@ def _warp_kernel(c, n_tap, rh, rw, hpad, wpad, mode,
         out_ref[ch] = jnp.where(okp, val, fb_ref[ch])
 
 
-def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom"):
+def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
+                         wrap_x=False):
     """Resample planar ``tex`` [C,H,W] at per-pixel positions (sx, sy)
-    [H,W] (pixel units, texel centers at +0.5). fallback: [C,H,W] used
-    where a block's tap spread exceeds the DMA region. Returns [C,H,W]."""
+    [HO,WO] (pixel units, texel centers at +0.5; the output grid may differ
+    from the texture grid — env-map lookups sample a tiny map from screen
+    space). fallback: [C,HO,WO] used where a block's tap spread exceeds the
+    DMA region. Returns [C,HO,WO].
+
+    wrap_x: wrap addressing in x (lat-long env maps; |overhang| <= 4
+    texels, which covers bilinear's single wrap tap) instead of clamp.
+    Small textures get a region covering the WHOLE map, so every sample is
+    valid and the fallback never fires — the kernel is then an exact
+    arbitrary-position sampler."""
     n_tap = {"nearest": 1, "bilinear": 2, "catmull_rom": 4}[mode]
     c, h, w = tex.shape
-    hb = h + (-h) % BH
-    wb = w + (-w) % BW
-    rh = BH + 2 * MARGIN + n_tap
-    rw = BW + 2 * MARGIN + n_tap
+    ho, wo = sx.shape
+    hb = ho + (-ho) % BH
+    wb = wo + (-wo) % BW
+    # region: motion-bounded window, or the whole map (+clamp slack) when
+    # the map is small — then every sample is valid regardless of spread
+    rh = h + 8 + n_tap if h <= 128 else BH + 2 * MARGIN + n_tap
+    rw = w + 8 + n_tap if w <= 256 else BW + 2 * MARGIN + n_tap
     # pad 4 low (clamped tap base reaches -n_tap >= -4) and enough high
     # that any clamped origin still fits a full [rh, rw] region
-    hi_y = max(rh - 1, hb - h + n_tap + 4)
-    hi_x = max(rw - 1, wb - w + n_tap + 4)
-    texp = jnp.pad(tex, ((0, 0), (4, hi_y), (4, hi_x)), mode="edge")
+    hi_y = max(rh - 1, n_tap + 4)
+    hi_x = max(rw - 1, n_tap + 4)
+    texp = jnp.pad(tex, ((0, 0), (4, hi_y), (0, 0)), mode="edge")
+    if wrap_x:
+        reps = -(-hi_x // w)
+        texp = jnp.concatenate(
+            [texp[:, :, -4:], texp,
+             jnp.tile(texp, (1, 1, reps))[:, :, :hi_x]], axis=2)
+    else:
+        texp = jnp.pad(texp, ((0, 0), (0, 0), (4, hi_x)), mode="edge")
 
     def p2(a):
         # edge mode: padded lanes mirror the block's real samples, so they
         # never drag the per-block region origin away from the content
-        return jnp.pad(a, ((0, hb - h), (0, wb - w)), mode="edge")
+        return jnp.pad(a, ((0, hb - ho), (0, wb - wo)), mode="edge")
 
     sxp, syp = p2(sx), p2(sy)
-    fbp = jnp.pad(fallback, ((0, 0), (0, hb - h), (0, wb - w)))
+    fbp = jnp.pad(fallback, ((0, 0), (0, hb - ho), (0, wb - wo)))
 
     kernel = functools.partial(_warp_kernel, c, n_tap, rh, rw, h, w, mode)
     blk = pl.BlockSpec((BH, BW), lambda i, j: (i, j),
@@ -156,4 +175,4 @@ def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom"):
         scratch_shapes=[pltpu.VMEM((c, rh, rw), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(sxp, syp, fbp, texp)
-    return out[:, :h, :w]
+    return out[:, :ho, :wo]

@@ -316,7 +316,7 @@ def test_warp_kernel_matches_xla_resample():
     from rtsdm_tpu.passes.temporal import _bilinear, _catmull_rom, _grid_uv
 
     rng = np.random.default_rng(5)
-    h, w = 48, 160
+    h, w = 160, 288  # > the small-map threshold: exercises the windowed
     tex = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
     mv = (np.stack([np.sin(np.linspace(0, 3, w))[None, :].repeat(h, 0),
                     np.cos(np.linspace(0, 2, h))[:, None].repeat(w, 1)], -1)
@@ -341,3 +341,25 @@ def test_warp_kernel_matches_xla_resample():
     assert np.abs(np.asarray(jnp.moveaxis(bl, 0, -1)) - ref_bl).max() < 1e-4
     assert np.abs(np.asarray(jnp.moveaxis(oob, 0, -1)) - ref_oob).max() < 1e-4
     assert not (np.asarray(cr) == -9.0).any()  # no fallback on smooth motion
+
+
+def test_warp_kernel_env_map_whole_region():
+    """Small maps get a whole-map region: exact for ARBITRARY (incoherent)
+    sample fields — the env-map lookup path (wrap in x, clamp in y)."""
+    import rtsdm_tpu.ops.warp_pallas as WP
+    from rtsdm_tpu.scene.textures import latlong_sky, sample_env
+
+    rng = np.random.default_rng(9)
+    env = jnp.asarray(latlong_sky())
+    dirs = jnp.asarray(rng.normal(size=(40, 144, 3)).astype(np.float32))
+    ref = np.asarray(sample_env(env, dirs))  # CPU gather path
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                           1e-8)
+    he, we = env.shape[:2]
+    v = jnp.arccos(jnp.clip(d[..., 1], -1, 1)) / jnp.pi * he - 0.5
+    u = (jnp.arctan2(d[..., 2], d[..., 0]) + jnp.pi) / (2 * jnp.pi) * we - 0.5
+    with interpret_mode(WP):
+        got = jnp.moveaxis(WP.warp_resample_pallas(
+            jnp.moveaxis(env, -1, 0), u + 0.5, v + 0.5,
+            jnp.zeros((3, 40, 144)), mode="bilinear", wrap_x=True), 0, -1)
+    assert np.abs(np.asarray(got) - ref).max() < 1e-5
