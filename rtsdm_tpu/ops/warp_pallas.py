@@ -138,8 +138,10 @@ def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
     wb = wo + (-wo) % BW
     # region: motion-bounded window, or the whole map (+clamp slack) when
     # the map is small — then every sample is valid regardless of spread
-    rh = h + 8 + n_tap if h <= 128 else BH + 2 * MARGIN + n_tap
+    # (env maps, page atlases). Budget ~2.5 MB of VMEM for the region.
+    rh = h + 8 + n_tap if h <= 768 else BH + 2 * MARGIN + n_tap
     rw = w + 8 + n_tap if w <= 256 else BW + 2 * MARGIN + n_tap
+    assert c * rh * rw * 4 <= (4 << 20), (c, rh, rw)
     # pad 4 low (clamped tap base reaches -n_tap >= -4) and enough high
     # that any clamped origin still fits a full [rh, rw] region
     hi_y = max(rh - 1, n_tap + 4)

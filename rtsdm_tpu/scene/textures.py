@@ -129,7 +129,28 @@ def sample_pages(pages, page_idx, uv, mode="bilinear", fallback=1.0):
     uv:       [..., 2] float
     Returns [..., 3]. One flat gather per texel fetched (1 nearest /
     4 bilinear)."""
+    import jax as _jax
     n = pages.shape[0]
+    if (mode == "bilinear" and uv.ndim == 3 and uv.shape[0] >= 8
+            and uv.shape[1] >= 128 and n * (PAGE + 2) <= 768
+            and _jax.devices()[0].platform not in ("cpu",)):
+        # TPU: stack the wrap-padded pages into one tall atlas and sample
+        # through the warp kernel's whole-map region (exact, gather-free;
+        # the XLA form is 4 gathers/pixel, ~100 ms at 1080p). Wrap
+        # addressing folds into the page pad; taps never cross pages.
+        from ..ops.warp_pallas import warp_resample_pallas
+        pp = jnp.pad(pages, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+        atlas = jnp.moveaxis(pp, -1, 0).reshape(3, n * (PAGE + 2), PAGE + 2)
+        pi_s = jnp.clip(page_idx, 0, n - 1).astype(jnp.int32)
+        xl = jnp.remainder(uv[..., 0] * PAGE - 0.5, PAGE)
+        yl = jnp.remainder(uv[..., 1] * PAGE - 0.5, PAGE)
+        out = warp_resample_pallas(
+            atlas, xl + 1.5,
+            yl + 1.5 + pi_s.astype(jnp.float32) * (PAGE + 2),
+            jnp.ones((3,) + uv.shape[:2]), mode="bilinear")
+        out = jnp.moveaxis(out, 0, -1)
+        return jnp.where((page_idx >= 0)[..., None], out,
+                         jnp.float32(fallback))
     flat = pages.reshape(n * PAGE * PAGE, 3)
     pi = jnp.clip(page_idx, 0, n - 1).astype(jnp.int32)
     u = uv[..., 0] * PAGE - 0.5

@@ -363,3 +363,28 @@ def test_warp_kernel_env_map_whole_region():
             jnp.moveaxis(env, -1, 0), u + 0.5, v + 0.5,
             jnp.zeros((3, 40, 144)), mode="bilinear", wrap_x=True), 0, -1)
     assert np.abs(np.asarray(got) - ref).max() < 1e-5
+
+
+def test_warp_kernel_page_atlas():
+    """sample_pages TPU path (stacked wrap-padded page atlas through the
+    whole-map warp region) == the XLA gather path."""
+    from unittest import mock as _mock
+
+    import jax as _jax
+
+    import rtsdm_tpu.ops.warp_pallas as WP
+    import rtsdm_tpu.scene.textures as TX
+
+    rng = np.random.default_rng(13)
+    n = 6
+    pages = jnp.asarray(rng.random((n, TX.PAGE, TX.PAGE, 3))
+                        .astype(np.float32))
+    h, w = 40, 144
+    uv = jnp.asarray((rng.random((h, w, 2)).astype(np.float32) - 0.3) * 4.0)
+    pidx = jnp.asarray(rng.integers(-1, n, (h, w)).astype(np.int32))
+    ref = np.asarray(TX.sample_pages(pages, pidx, uv))
+    fake_dev = [type("D", (), {"platform": "tpu"})()]
+    with interpret_mode(WP), \
+            _mock.patch.object(_jax, "devices", lambda *a, **k: fake_dev):
+        got = np.asarray(TX.sample_pages(pages, pidx, uv))
+    assert np.abs(got - ref).max() < 1e-4
