@@ -20,7 +20,16 @@ Layer map (mirrors reference SURVEY §1, re-imagined):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Platform override: the axon sitecustomize force-registers the TPU backend
+# and clobbers JAX_PLATFORMS, so an env var is the only way to force CPU from
+# a CLI entry point (e.g. when the TPU tunnel is unavailable).  Honored here
+# because this package import is the first thing every entry point does.
+if _os.environ.get("RTSDM_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["RTSDM_PLATFORM"])
 
 # Renderer-wide precision policy: geometry transforms must stay true float32 —
 # TPU's default bf16 MXU passes put ~0.4% error on ndc depth, which the

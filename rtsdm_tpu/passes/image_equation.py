@@ -75,8 +75,28 @@ class ImageEquation(RenderPass):
         return r.add_output("out")
 
     def execute(self, ctx, inputs, state=None):
+        # the term language of the reference (ImageEquation term parser,
+        # ImageEquation.cpp:73-77) as python-expression eval: inputs I0..I3,
+        # math functions, pixel coordinates x/y and the clock time — enough
+        # to express full-screen procedural shaders (samples/ShaderToy.py)
+        xg = jnp.broadcast_to(
+            jnp.arange(ctx.width, dtype=jnp.float32)[None, :],
+            (ctx.height, ctx.width))
+        yg = jnp.broadcast_to(
+            jnp.arange(ctx.height, dtype=jnp.float32)[:, None],
+            (ctx.height, ctx.width))
+
+        def _vec(*chans):
+            return jnp.stack([jnp.broadcast_to(jnp.asarray(c, jnp.float32),
+                                               (ctx.height, ctx.width))
+                              for c in chans], axis=-1)
+
         env = {"xy": None, "abs": jnp.abs, "min": jnp.minimum,
-               "max": jnp.maximum, "sqrt": jnp.sqrt, "pow": jnp.power}
+               "max": jnp.maximum, "sqrt": jnp.sqrt, "pow": jnp.power,
+               "sin": jnp.sin, "cos": jnp.cos, "exp": jnp.exp,
+               "floor": jnp.floor, "frac": lambda a: a - jnp.floor(a),
+               "x": xg, "y": yg, "time": jnp.asarray(ctx.time, jnp.float32),
+               "float2": _vec, "float3": _vec, "float4": _vec}
         for k, v in inputs.items():
             env[k] = _Img(v)
         result = eval(self.cfg["formula"], {"__builtins__": {}}, env)  # noqa: S307

@@ -10,6 +10,9 @@ from rtsdm_tpu.mogwai import Renderer, run_script
 SCRIPTS = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
                                         "scripts", "*.py")))
 SCRIPTS = [s for s in SCRIPTS if not os.path.basename(s).startswith("_")]
+# Sample apps (reference Source/Samples analogues) share the same contract.
+SCRIPTS += sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                         "samples", "*.py")))
 
 
 @pytest.mark.parametrize("script", SCRIPTS, ids=os.path.basename)
