@@ -107,6 +107,33 @@ class Renderer:
         self._frame_fn = None
         self._state = None
 
+    def renderUI(self) -> dict:
+        """App-level declarative UI (the headless Mogwai::renderUI analogue,
+        Mogwai.cpp renderUI + Utils/UI/Gui.h): clock controls + scene info +
+        per-graph pass widget trees. tools/ui_panel.py turns this into an
+        HTML control panel; applyUI() feeds edited values back."""
+        return dict(
+            clock=dict(time=float(self.clock.time),
+                       paused=self.clock.paused,
+                       framerate=self.clock.framerate),
+            scene=dict(name=self._scene_name,
+                       triangles=(int(self.scene.num_triangles)
+                                  if self.scene is not None else 0)),
+            resolution=[self.width, self.height],
+            graphs={g.name: g.render_ui() for g in self.graphs})
+
+    def applyUI(self, edits: dict) -> bool:
+        """Apply {graph: {pass: {key: value}}} edits; invalidates the
+        compiled frame path when anything changed (requestRecompile)."""
+        changed = False
+        by_name = {g.name: g for g in self.graphs}
+        for gname, gedits in edits.items():
+            changed |= by_name[gname].apply_ui(gedits)
+        if changed:
+            self._frame_fn = None
+            self._state = None
+        return changed
+
     def addOptions(self, source):
         """Global options from a dict or a JSON file path (reference
         Settings::addOptions, Utils/Settings.h:314-319; Mogwai scripts call

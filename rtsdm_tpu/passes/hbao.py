@@ -79,6 +79,9 @@ def _fetch_slices(padded, pad, lvl, offs, qh, qw):
 class HBAO(RenderPass):
     SCHEMA = dict(radius=1.0, depthMode="SingleDepth", depthBias=0.1,
                   exponent=2.0, samplingMode="Auto")
+    UI_CHOICES = dict(depthMode=["SingleDepth", "DualDepth"],
+                      samplingMode=["Auto", "Shift", "Gather"])
+    UI_RANGES = dict(radius=(0.01, 4.0), exponent=(1.0, 4.0))
 
     def reflect(self, ctx):
         return (PassReflection()

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import rt
+from ..ops import lights, rt
 from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
 from ..scene.scene import LIGHT_DIRECTIONAL
 from ..utils.math import normalize, saturate
@@ -228,43 +228,25 @@ class PathTracer(RenderPass):
 
     SCHEMA = dict(samplesPerPixel=1, maxSurfaceBounces=3, useNEE=True,
                   useMIS=True, useRussianRoulette=True, rrDepth=2,
-                  chunk=256, useImportanceSampling=True)
+                  chunk=256, useImportanceSampling=True,
+                  emissiveSampler="Power")  # "Power" | "LightBVH"
 
     def __init__(self, props=None):
         super().__init__(props)
         self._emissive = None
+        self._clusters = None
 
     def set_scene(self, scene):
         super().set_scene(scene)
-        import numpy as np
-        emis = np.asarray(scene.mat_emissive)[np.asarray(scene.material_id)]
-        ids = np.where(emis.sum(-1) > 0.0)[0]
-        if len(ids) == 0:
-            self._emissive = None
-            return
-        pos = np.asarray(scene.positions)[ids]
-        area = 0.5 * np.linalg.norm(
-            np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0]), axis=-1)
-        # power-proportional selection (flux = Le_lum * area * pi) — the flat
-        # TPU-native equivalent of the reference's EmissivePowerSampler
-        # (Rendering/Lights/EmissivePowerSampler.cpp; the hierarchical
-        # LightBVH collapses to a CDF table at our light counts)
-        lum = emis[ids] @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
-        power = np.maximum(lum * area, 1e-12)
-        cdf = np.cumsum(power)
-        total_p = float(cdf[-1])
-        # per-triangle area pdf = power_i / total_power / area_i
-        inv_area_pdf = (power / total_p) / np.maximum(area, 1e-12)
-        self._emissive = dict(ids=jnp.asarray(ids.astype(np.int32)),
-                              cdf=jnp.asarray((cdf / total_p).astype(np.float32)),
-                              area=jnp.asarray(area.astype(np.float32)),
-                              pdf_area=jnp.asarray(
-                                  inv_area_pdf.astype(np.float32)),
-                              total_area=float(area.sum()))
-        # dense tid -> area pdf (for MIS weighting of BSDF hits on emitters)
-        dense = np.zeros((scene.num_triangles,), np.float32)
-        dense[ids] = inv_area_pdf
-        self._emissive["pdf_area_by_tid"] = jnp.asarray(dense)
+        # flat EmissivePowerSampler tables (ops/lights.py; reference
+        # Rendering/Lights/EmissivePowerSampler.cpp)
+        self._emissive = lights.build_power_sampler(scene)
+        # the clustered LightBVH analogue (ops/lights.py; reference
+        # Rendering/Lights/LightBVH.h:57) — built only when selected
+        if self.cfg["emissiveSampler"] == "LightBVH":
+            self._clusters = lights.build_cluster_sampler(scene)
+        else:
+            self._clusters = None
 
     def reflect(self, ctx):
         return (PassReflection().add_input("vbuffer", optional=True)
@@ -273,9 +255,13 @@ class PathTracer(RenderPass):
                 .add_output("color"))
 
     # --- emissive light sampling --------------------------------------------
-    def _sample_emissive(self, scene, p, u1, u2, u3):
-        """Uniform-by-area emissive triangle sample: returns (dir, dist,
-        Le, pdf_solid_angle, valid)."""
+    def _sample_emissive(self, scene, p, u1, u2, u3, u4):
+        """One emissive light sample per point: returns (dir, dist, Le,
+        pdf_solid_angle, valid, tid).  Dispatches to the clustered LightBVH
+        analogue when selected, else the flat power CDF."""
+        if self._clusters is not None:
+            return lights.sample_clustered(self._clusters, scene, p,
+                                           u1, u2, u3, u4)
         em = self._emissive
         idx = jnp.searchsorted(em["cdf"], u1)
         idx = jnp.clip(idx, 0, em["ids"].shape[0] - 1)
@@ -303,6 +289,8 @@ class PathTracer(RenderPass):
 
     def _emissive_pdf_w(self, scene, p, wi, t, tid):
         """pdf of having NEE-sampled the emissive hit (for MIS on BSDF hits)."""
+        if self._clusters is not None:
+            return lights.pdf_clustered_w(self._clusters, scene, p, wi, t, tid)
         em = self._emissive
         tri = scene.positions[jnp.maximum(tid, 0)]
         e1 = tri[..., 1, :] - tri[..., 0, :]
@@ -423,9 +411,9 @@ class PathTracer(RenderPass):
                 # emissive triangle NEE with MIS
                 if self._emissive is not None:
                     u = [_rand01(pid * 7 + jnp.uint32(bounce * 5 + k))
-                         for k in range(3)]
+                         for k in range(4)]
                     wi_l, dist_l, le, pdf_l, lvalid, ltid = \
-                        self._sample_emissive(scene, p, u[0], u[1], u[2])
+                        self._sample_emissive(scene, p, u[0], u[1], u[2], u[3])
                     occ = rt.any_hit(scene, p + n * 1e-3, wi_l,
                                      jnp.full((r,), 1e-3), dist_l - 1e-3,
                                      chunk=chunk)

@@ -77,6 +77,15 @@ class SVAO(RenderPass):
         # kernels (tier cross-checks, tools/quality_ssim.py)
         usePallas=True,
     )
+    UI_CHOICES = dict(
+        primaryDepthMode=[DEPTH_MODE_SINGLE, DEPTH_MODE_DUAL],
+        secondaryDepthMode=[DEPTH_MODE_SINGLE, DEPTH_MODE_DUAL,
+                            DEPTH_MODE_STOCHASTIC, DEPTH_MODE_RAYTRACED],
+        kernel=["VAO", "HBAO"], stochasticDepthImpl=["Ray", "Raster"],
+        samplingMode=["shift", "gather"], stochMapDivisor=[1, 2, 4],
+        sampleCount=[8, 16, 32])
+    UI_RANGES = dict(radius=(0.01, 4.0), exponent=(1.0, 4.0),
+                     thickness=(0.0, 1.0))
 
     def __init__(self, props=None):
         super().__init__(props)

@@ -117,6 +117,11 @@ class ToneMapper(RenderPass):
                   operator="Linear", clamp=False, whiteMaxLuminance=1.0,
                   whiteScale=11.2, fNumber=1.0, shutter=1.0,
                   exposureMode="AperturePriority")
+    UI_CHOICES = dict(operator=["Linear", "Reinhard", "ReinhardModified",
+                                "HejiHableAlu", "HableUc2", "Aces"],
+                      exposureMode=["AperturePriority", "ShutterPriority"])
+    UI_RANGES = dict(exposureCompensation=(-12.0, 12.0),
+                     whitePoint=(1905.0, 25000.0))
 
     def reflect(self, ctx):
         return PassReflection().add_input("src").add_output("dst")

@@ -77,6 +77,19 @@ class RenderGraph:
         for p in self.passes.values():
             p.set_scene(scene)
 
+    def render_ui(self) -> dict:
+        """Declarative UI tree for every pass (headless renderUI analogue;
+        reference RenderGraphUI / RenderPass.h:214)."""
+        return {name: p.render_ui() for name, p in self.passes.items()}
+
+    def apply_ui(self, edits: dict) -> bool:
+        """Apply {pass_name: {key: value}} edits; True if anything changed
+        (callers must rebuild frame_fn — static config retraces)."""
+        changed = False
+        for pname, kv in edits.items():
+            changed |= self.passes[pname].apply_ui(kv)
+        return changed
+
     def get_pass(self, name: str) -> RenderPass:
         return self.passes[name]
 

@@ -151,5 +151,59 @@ class RenderPass:
         """Round-trip config (RenderPass.h:189; used by graph save/load)."""
         return dict(self.cfg)
 
+    # --- UI (headless renderUI analogue) --------------------------------
+    # The reference's RenderPass::renderUI(Gui::Widgets&) draws ImGui
+    # controls per pass (RenderPass.h:214, Utils/UI/Gui.h). Headless, the
+    # same information is a declarative widget tree: auto-derived from
+    # SCHEMA + live cfg, refined by optional class hints. tools/ui_panel.py
+    # renders the tree to an HTML control panel and applies edited values
+    # back through Properties (the full renderUI -> var -> recompile loop).
+    UI_CHOICES: dict[str, list] = {}   # key -> allowed values (dropdown)
+    UI_RANGES: dict[str, tuple] = {}   # key -> (lo, hi) (slider)
+
+    def render_ui(self) -> list[dict]:
+        """Widget descriptors for this pass's live config."""
+        widgets = []
+        for key in self.SCHEMA:
+            val = self.cfg.get(key, self.SCHEMA[key])
+            w = dict(key=key, value=val, default=self.SCHEMA[key])
+            if key in self.UI_CHOICES:
+                w.update(kind="dropdown", choices=list(self.UI_CHOICES[key]))
+            elif isinstance(val, bool):
+                w.update(kind="checkbox")
+            elif isinstance(val, (int, float)) and not isinstance(val, bool):
+                w.update(kind="slider")
+                if key in self.UI_RANGES:
+                    w["min"], w["max"] = self.UI_RANGES[key]
+            else:
+                w.update(kind="text", value=repr(val) if not
+                         isinstance(val, str) else val)
+            widgets.append(w)
+        return widgets
+
+    def apply_ui(self, edits: dict) -> bool:
+        """Apply {key: value} edits from an (edited) widget tree; returns
+        True if anything changed (static config -> the next frame_fn build
+        retraces, the requestRecompile analogue, SVAO.cpp:649)."""
+        changed = False
+        for key, val in edits.items():
+            if key not in self.SCHEMA:
+                raise KeyError(f"{self.pass_type}: unknown UI key '{key}'")
+            if self.UI_CHOICES.get(key) and val not in self.UI_CHOICES[key]:
+                raise ValueError(f"{self.pass_type}.{key}: '{val}' not in "
+                                 f"{self.UI_CHOICES[key]}")
+            cur = self.cfg.get(key)
+            cast = type(self.SCHEMA[key])
+            if cur is not None and not isinstance(val, cast) \
+                    and not isinstance(self.SCHEMA[key], bool):
+                try:
+                    val = cast(val)
+                except (TypeError, ValueError):
+                    pass
+            if val != cur:
+                self.cfg[key] = val
+                changed = True
+        return changed
+
     def __repr__(self):
         return f"<{self.pass_type} '{self.name}'>"
