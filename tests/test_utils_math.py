@@ -1,0 +1,142 @@
+"""Unit tests for utils/math.py, utils/sampling.py, core/clock.py,
+core/profiler.py — the Utils.Math / Utils.Sampling / Utils.Timing rows of
+the component inventory (reference Source/Tools/FalcorTest has dedicated
+unit-test files per util family, e.g. Tests/Utils/MathHelpersTests.cpp)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtsdm_tpu.core.clock import Clock
+from rtsdm_tpu.core.profiler import Profiler
+from rtsdm_tpu.utils import math as um
+from rtsdm_tpu.utils import sampling as us
+
+
+# --- matrices --------------------------------------------------------------
+
+def test_look_at_perspective_roundtrip():
+    view = um.look_at(jnp.asarray([0.0, 0.0, 3.0]),
+                      jnp.asarray([0.0, 0.0, 0.0]),
+                      jnp.asarray([0.0, 1.0, 0.0]))
+    # eye maps to the view-space origin (homogeneous [0,0,0,1])
+    e = um.transform_point(view, jnp.asarray([0.0, 0.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(e), [0, 0, 0, 1], atol=1e-6)
+    proj = um.perspective(jnp.pi / 2, 1.0, 0.1, 100.0)
+    p = jnp.asarray([0.3, -0.2, 0.5])
+    clip = um.transform_point(proj @ view, p)
+    back_h = um.transform_point(um.inverse(proj @ view), clip[:3] / clip[3])
+    np.testing.assert_allclose(np.asarray(back_h[:3] / back_h[3]),
+                               np.asarray(p), atol=1e-4)
+
+
+def test_inverse_matches_numpy():
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32)
+                    + 4 * np.eye(4, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(um.inverse(m)),
+                               np.linalg.inv(np.asarray(m)),
+                               rtol=2e-4, atol=2e-5)
+
+
+# --- octahedral normal packing (decodeNormal2x8, SVAO/Common.slang:98) -----
+
+@pytest.mark.parametrize("bits", [8, 16])
+def test_normal_pack_roundtrip(bits):
+    rng = np.random.default_rng(1)
+    n = rng.normal(size=(256, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.asarray(n)
+    enc = um.encode_normal_2x8 if bits == 8 else um.encode_normal_2x16
+    dec = um.decode_normal_2x8 if bits == 8 else um.decode_normal_2x16
+    back = np.asarray(dec(enc(n)))
+    dots = np.sum(back * np.asarray(n), -1)
+    # 8-bit octa worst-case ~1 deg, 16-bit far tighter
+    assert dots.min() > (0.9995 if bits == 8 else 0.999999)
+
+
+def test_oct_mapping_covers_sphere_poles():
+    for v in ([0, 0, 1], [0, 0, -1], [1, 0, 0], [0, -1, 0]):
+        n = jnp.asarray([v], jnp.float32)
+        back = um.oct_snorm_to_ndir(um.ndir_to_oct_snorm(n))
+        np.testing.assert_allclose(np.asarray(back)[0], v, atol=1e-6)
+
+
+# --- color spaces ----------------------------------------------------------
+
+def test_ycgco_roundtrip_and_luma():
+    rng = np.random.default_rng(2)
+    c = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+    back = um.ycgco_to_rgb(um.rgb_to_ycgco(c))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(c), atol=1e-6)
+    np.testing.assert_allclose(
+        float(um.luminance(jnp.asarray([1.0, 1.0, 1.0]))), 1.0, atol=1e-5)
+
+
+# --- sample generators ------------------------------------------------------
+
+def test_van_der_corput_low_discrepancy():
+    seq = np.asarray([us.van_der_corput(i) for i in range(1, 129)])
+    assert ((seq > 0) & (seq < 1)).all()
+    # radical inverse: first 4 values of base 2
+    np.testing.assert_allclose(seq[:4], [0.5, 0.25, 0.75, 0.125])
+    # stratification: every 1/8 bucket hit equally at n=128
+    hist, _ = np.histogram(seq, bins=8, range=(0, 1))
+    assert hist.min() == hist.max() == 16
+
+
+@pytest.mark.parametrize("nd,kernel", [(8, us.AO_KERNEL_VAO),
+                                       (16, us.AO_KERNEL_VAO),
+                                       (32, us.AO_KERNEL_VAO),
+                                       (8, us.AO_KERNEL_HBAO)])
+def test_sample_radius_table(nd, kernel):
+    """Radii regenerated from the generator math (GenPoints.py:22-27):
+    in (0,1], sorted pattern per the reference's radical-inverse layout."""
+    tab = us.sample_radius_table(nd, kernel)
+    assert tab.shape == (nd,)
+    assert (tab > 0).all() and (tab <= 1.0 + 1e-6).all()
+
+
+def test_stratified_coverage_tables():
+    indices, lookup = us.stratified_coverage_tables(4)
+    # group R holds exactly the 4-bit masks with popcount R (alpha-weighted
+    # binomial LUT, StochasticDepth.ps.slang:101-118)
+    assert len(lookup) == 16 and indices[-1] == 16
+    for r in range(5):
+        group = lookup[indices[r]:indices[r + 1]]
+        assert all(bin(int(m)).count("1") == r for m in group)
+        import math
+        assert len(group) == math.comb(4, r)
+
+
+# --- clock & profiler --------------------------------------------------------
+
+def test_clock_determinism():
+    c = Clock(framerate=30)
+    assert c.time == 0.0 and c.frame == 0
+    c.tick()
+    assert c.frame == 1 and abs(c.time - 1 / 30) < 1e-9
+    c.pause()
+    f = c.frame
+    c.tick()
+    assert c.frame == f  # paused clock doesn't advance
+    c.play()
+    c.frame = 90
+    assert abs(c.time - 3.0) < 1e-9  # frame assignment re-derives time
+
+
+def test_profiler_event_tree():
+    p = Profiler(enabled=True)
+    with p.event("frame"):
+        with p.event("svao"):
+            pass
+        with p.event("blur"):
+            pass
+    flat = p.flat_averages()
+    assert "frame" in flat and "frame/svao" in flat and "frame/blur" in flat
+    assert all(v >= 0 for v in flat.values())
+    # disabled profiler is zero-overhead and records nothing
+    p2 = Profiler(enabled=False)
+    with p2.event("x"):
+        pass
+    assert p2.flat_averages() == {}
