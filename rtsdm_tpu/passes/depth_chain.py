@@ -134,6 +134,8 @@ class MaterialDoubleSided(RenderPass):
         return PassReflection().add_input("mtlData").add_output("doubleSided")
 
     def execute(self, ctx, inputs, state=None):
+        from ..ops.materials import fetch_material_scalar
         mid = inputs["mtlData"]
-        ds = ctx.scene.mat_double_sided[jnp.maximum(mid, 0)]
+        ds = fetch_material_scalar(ctx.scene.mat_double_sided,
+                                   jnp.maximum(mid, 0))
         return {"doubleSided": jnp.where(mid >= 0, ds, False)}, None

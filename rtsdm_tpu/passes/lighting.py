@@ -145,15 +145,19 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
 
     hit = g["posW"][..., 3] > 0.0
     mid = jnp.maximum(g["mtlData"], 0)
-    albedo = scene.mat_base_color[mid]
-    emissive = scene.mat_emissive[mid]
-    rough = scene.mat_roughness[mid]
-    metal = scene.mat_metallic[mid]
-    ior = scene.mat_ior[mid]
+    # all material properties in ONE one-hot MXU matmul — six per-pixel
+    # [M,*] table gathers cost ~20 ms each per 2M px (ops/materials.py)
+    from ..ops.materials import fetch_shading_materials
+    mat = fetch_shading_materials(scene, mid)
+    albedo = mat["base_color"]
+    emissive = mat["emissive"]
+    rough = mat["roughness"]
+    metal = mat["metallic"]
+    ior = mat["ior"]
     if scene.tex_pages is not None and g.get("texC") is not None:
         # one bilinear fetch per pixel, shading pass only (textures.py rules)
         from ..scene.textures import sample_pages
-        albedo = albedo * sample_pages(scene.tex_pages, scene.mat_tex[mid],
+        albedo = albedo * sample_pages(scene.tex_pages, mat["tex"],
                                        g["texC"])
     n = g["normW"][..., :3]
     p = g["posW"][..., :3]

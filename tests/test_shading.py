@@ -197,3 +197,35 @@ def test_animation_motion_vectors_prev_positions():
     s_prev = ac.animate(scene, 0.75)
     np.testing.assert_allclose(np.asarray(s.prev_positions),
                                np.asarray(s_prev.positions), atol=1e-5)
+
+
+def test_material_fetch_onehot_matches_gather():
+    """ops/materials.py one-hot MXU fetch is bit-exact vs direct indexing
+    (a 0/1 one-hot row dot is a sum with exactly one nonzero product)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from rtsdm_tpu.ops.materials import (fetch_material_scalar,
+                                         fetch_shading_materials)
+    from rtsdm_tpu.scene.procedural import arcade
+    scene = arcade()
+    rng = np.random.default_rng(0)
+    m = scene.mat_base_color.shape[0]
+    mid = jnp.asarray(rng.integers(0, m, (33, 47)).astype(np.int32))
+    mat = fetch_shading_materials(scene, mid)
+    np.testing.assert_array_equal(np.asarray(mat["base_color"]),
+                                  np.asarray(scene.mat_base_color[mid]))
+    np.testing.assert_array_equal(np.asarray(mat["emissive"]),
+                                  np.asarray(scene.mat_emissive[mid]))
+    np.testing.assert_array_equal(np.asarray(mat["roughness"]),
+                                  np.asarray(scene.mat_roughness[mid]))
+    np.testing.assert_array_equal(np.asarray(mat["metallic"]),
+                                  np.asarray(scene.mat_metallic[mid]))
+    np.testing.assert_array_equal(np.asarray(mat["ior"]),
+                                  np.asarray(scene.mat_ior[mid]))
+    np.testing.assert_array_equal(np.asarray(mat["tex"]),
+                                  np.asarray(scene.mat_tex[mid]))
+    ds = fetch_material_scalar(scene.mat_double_sided, mid)
+    np.testing.assert_array_equal(np.asarray(ds),
+                                  np.asarray(scene.mat_double_sided[mid]))
