@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import ao as A
 from ..ops import rt
 from ..ops.raster import rasterize
-from ..utils.sampling import AO_KERNEL_VAO, random_jitter
+from ..utils.sampling import AO_KERNEL_VAO, jitter_grid
 
 
 def band_mesh(n_devices: int | None = None) -> Mesh:
@@ -136,8 +136,10 @@ def _sd_trace_band(scene, lin_ext, ray_min, ray_max, *, sd_row0, guard,
     sy = jnp.arange(rows, dtype=jnp.int32) + sd_row0
     sxg, syg = jnp.meshgrid(sx, sy, indexing="xy")
     signed = jnp.stack([sxg, syg], -1).astype(jnp.float32)
-    # jitter keyed on the global grid index (pass-local index = signed+guard)
-    jit = random_jitter(sxg + guard, syg + guard, jitter)
+    # jitter keyed on the global grid index: x index sx+guard starts at 0,
+    # y index sy+guard starts at the (traced) band row — tiled table with a
+    # dynamic row phase instead of a per-texel 16-entry gather
+    jit = jitter_grid(rows, sd_w, jitter, x0=0, y0=sd_row0 + guard)
     origin, dirs = cam.compute_ray_pinhole(signed, (dim_w, dim_h), jitter=jit)
 
     cos_w = jnp.sum(dirs * (cam.camera_w / jnp.linalg.norm(cam.camera_w)), -1)

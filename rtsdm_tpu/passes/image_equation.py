@@ -33,9 +33,14 @@ class _Img:
 
     def __getattr__(self, name):
         if all(ch in _SWIZZLE for ch in name):
+            # static channel slices + stack, NOT a fancy-index along the
+            # minor axis (an [H,W,4] index-list gather costs gather rate
+            # for H*W*len(name) elements on TPU)
             idx = [_SWIZZLE[ch] for ch in name]
-            out = self._rgba[..., idx]
-            return out[..., 0] if len(idx) == 1 else out
+            if len(idx) == 1:
+                return self._rgba[..., idx[0]]
+            import jax.numpy as jnp
+            return jnp.stack([self._rgba[..., i] for i in idx], axis=-1)
         raise AttributeError(name)
 
     # arithmetic falls through to the full rgba array; a 2-D (single-channel)

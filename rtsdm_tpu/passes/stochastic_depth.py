@@ -22,7 +22,7 @@ from ..ops import rt
 from ..ops.raster import CULL_MODES, _bin_triangles, _setup_triangles
 from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
 from ..utils.math import hash2, hash3, normalize
-from ..utils.sampling import random_jitter, stratified_coverage_tables
+from ..utils.sampling import jitter_grid, stratified_coverage_tables
 
 IMPLEMENTATIONS = {"default": 0, "coverage": 1, "reservoir": 2, "kbuffer": 3}
 
@@ -98,7 +98,7 @@ class StochasticDepthMapRT(RenderPass):
         py = jnp.arange(sd_h, dtype=jnp.int32)
         pxg, pyg = jnp.meshgrid(px, py, indexing="xy")
         signed = jnp.stack([pxg - guard, pyg - guard], -1).astype(jnp.float32)
-        jit = random_jitter(pxg, pyg, bool(self.cfg["Jitter"]))
+        jit = jitter_grid(sd_h, sd_w, bool(self.cfg["Jitter"]))
         origin, dirs = cam.compute_ray_pinhole(signed, (dim_w, dim_h), jitter=jit)
 
         cos_w = jnp.sum(dirs * (cam.camera_w / jnp.linalg.norm(cam.camera_w)), -1)

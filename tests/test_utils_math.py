@@ -140,3 +140,23 @@ def test_profiler_event_tree():
     with p2.event("x"):
         pass
     assert p2.flat_averages() == {}
+
+
+def test_jitter_grid_matches_random_jitter():
+    """jitter_grid (tiled 4x4 table) is bit-exact vs the per-texel gather
+    formulation, including a traced row offset."""
+    import jax
+    h, w = 13, 22
+    pxg, pyg = np.meshgrid(np.arange(w), np.arange(h))
+    ref = np.asarray(us.random_jitter(jnp.asarray(pxg), jnp.asarray(pyg)))
+    np.testing.assert_array_equal(np.asarray(us.jitter_grid(h, w)), ref)
+    # offset grid, static y0
+    ref2 = np.asarray(us.random_jitter(jnp.asarray(pxg + 2),
+                                       jnp.asarray(pyg + 7)))
+    np.testing.assert_array_equal(
+        np.asarray(us.jitter_grid(h, w, x0=2, y0=7)), ref2)
+    # traced y0 (the sharded band path)
+    got = jax.jit(lambda y0: us.jitter_grid(h, w, x0=2, y0=y0))(jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(got), ref2)
+    # disabled -> centered
+    assert float(us.jitter_grid(3, 3, enabled=False).std()) == 0.0
