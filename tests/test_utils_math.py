@@ -160,3 +160,29 @@ def test_jitter_grid_matches_random_jitter():
     np.testing.assert_array_equal(np.asarray(got), ref2)
     # disabled -> centered
     assert float(us.jitter_grid(3, 3, enabled=False).std()) == 0.0
+
+
+def test_algorithm_primitives():
+    """Utils.Algorithm analogues (ops/algorithm.py): reduction / exclusive
+    prefix sum / bitonic key-payload sort / segment sum semantics match the
+    reference primitives (ParallelReduction.h:46, PrefixSum.h:44,
+    BitonicSort.h:41)."""
+    from rtsdm_tpu.ops import algorithm as alg
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 100, (4, 16)).astype(np.float32))
+    lo, hi = alg.parallel_reduction(x, "minmax", axis=1)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(x).min(1))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(x).max(1))
+    # exclusive scan: out[0]=0, out[i]=sum(x[:i])
+    ps = np.asarray(alg.prefix_sum(x, axis=1))
+    ref = np.cumsum(np.asarray(x), 1) - np.asarray(x)
+    np.testing.assert_allclose(ps, ref)
+    keys = jnp.asarray(rng.integers(0, 1000, (64,)).astype(np.int32))
+    vals = jnp.arange(64, dtype=jnp.int32)
+    k, v = alg.bitonic_sort(keys, vals, descending=True)
+    order = np.argsort(-np.asarray(keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(keys)[order])
+    assert (np.asarray(keys)[np.asarray(v)] == np.asarray(k)).all()
+    seg = alg.segment_sum(jnp.ones((8,)), jnp.asarray([0, 0, 1, 3, 3, 3, 1, 0]),
+                          num_segments=4)
+    np.testing.assert_array_equal(np.asarray(seg), [3, 2, 0, 3])
