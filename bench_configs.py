@@ -2,6 +2,7 @@
 resolution on the TPU and reports whole-frame steady-state ms. Writes
 BENCH_CONFIGS.json (informational; the driver's headline metric is bench.py).
 """
+import functools
 import json
 import os
 import sys
@@ -106,7 +107,7 @@ def run_config(c, frames=8):
                   if hasattr(v, "dtype"))
         return st2, acc
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def k_frames(st, i0):
         st, accs = jax.lax.scan(step, st, i0 + jnp.arange(frames))
         return st, accs.sum()

@@ -252,7 +252,12 @@ class Renderer:
         self._state = graph.init_state(ctx)
         fn = graph.frame_fn(rw, rh, dictionary={"guardBand": gb},
                             pixel_debug=self.pixelDebug.pixel)
-        self._frame_fn = jax.jit(fn) if self.use_jit else fn
+        # donate the temporal-state pytree: XLA aliases each frame's new
+        # history buffers (TAA/TemporalAO/accum, several full-res planes)
+        # into the old ones instead of fresh HBM allocations + copies
+        # (reference keeps persistent textures; donation is the jit form)
+        self._frame_fn = (jax.jit(fn, donate_argnums=(1,))
+                          if self.use_jit else fn)
         self._scene_comp = scene
 
     def renderFrame(self):
