@@ -21,9 +21,13 @@ from .scene import Scene, make_scene
 
 
 def _load_image(path):
-    """Host-side image decode (PNG/JPEG/BMP via PIL) -> [h,w,c] uint8/float.
-    Returns None if the file is missing or PIL can't read it."""
+    """Host-side image decode (PNG/JPEG/BMP via PIL, DDS incl. BC1-BC5 via
+    utils/image_io.load_dds) -> [h,w,c] uint8/float. Returns None if the
+    file is missing or unreadable."""
     try:
+        if path.lower().endswith(".dds"):
+            from ..utils.image_io import load_dds
+            return load_dds(path)
         from PIL import Image
         import numpy as _np
         with Image.open(path) as im:

@@ -3,9 +3,11 @@ uncompressed scanline codec — no external EXR dependency).
 
 Reference parity: Falcor's image I/O lives in Core/API/Formats +
 Utils/Image/ImageIO.cpp (PNG/EXR/DDS via stb/tinyexr); FrameCapture writes
-EXR for HDR outputs (Mogwai FrameCapture). DDS block-compressed textures
-are out of scope on TPU (no sampler hardware to feed them to) — PNG/EXR/npy
-cover capture + load.
+EXR for HDR outputs (Mogwai FrameCapture). DDS reading (the dominant Falcor
+asset texture format) is implemented here as a host-side decode —
+uncompressed RGBA/BGRA plus BC1-BC5 block decompression, vectorized numpy —
+since TPU has no sampler hardware to feed compressed blocks to; textures
+enter the page-stack atlas as plain float arrays either way.
 """
 from __future__ import annotations
 
@@ -175,4 +177,154 @@ def load_image(path: str) -> np.ndarray:
         return load_exr(path)
     if low.endswith(".npy"):
         return np.load(path)
+    if low.endswith(".dds"):
+        return load_dds(path)
     return load_png(path)
+
+
+# ---------------------------------------------------------------------------
+# DDS (DirectDraw Surface) reader — uncompressed + BC1/BC2/BC3/BC4/BC5.
+# Reference: Utils/Image/ImageIO.cpp (DirectXTex-backed); layout per the
+# DDS_HEADER spec. Vectorized numpy block decode, top mip only.
+# ---------------------------------------------------------------------------
+
+def _rgb565(c):
+    r = ((c >> 11) & 0x1F).astype(np.float32) / 31.0
+    g = ((c >> 5) & 0x3F).astype(np.float32) / 63.0
+    b = (c & 0x1F).astype(np.float32) / 31.0
+    return np.stack([r, g, b], -1)
+
+
+def _bc1_colors(blocks, force_four=False):
+    """blocks: [N,8] uint8 -> [N,16,4] float colors (row-major texels)."""
+    n = blocks.shape[0]
+    c0 = blocks[:, 0].astype(np.uint16) | (blocks[:, 1].astype(np.uint16) << 8)
+    c1 = blocks[:, 2].astype(np.uint16) | (blocks[:, 3].astype(np.uint16) << 8)
+    idx = (blocks[:, 4:8].astype(np.uint32)
+           * (1 << (8 * np.arange(4, dtype=np.uint32)))).sum(1)
+    sel = (idx[:, None] >> (2 * np.arange(16, dtype=np.uint32))[None]) & 3
+    p0, p1 = _rgb565(c0), _rgb565(c1)
+    four = force_four | (c0 > c1)
+    f = four[:, None].astype(np.float32)
+    p2 = (2 * p0 + p1) / 3 * f + (p0 + p1) / 2 * (1 - f)
+    p3 = (p0 + 2 * p1) / 3 * f  # 3-color mode: p3 = transparent black
+    pal = np.stack([p0, p1, p2, p3], 1)                       # [N,4,3]
+    cols = np.take_along_axis(pal, sel[..., None].astype(np.int64), 1)
+    alpha = np.where(four[:, None] | (sel != 3), 1.0, 0.0).astype(np.float32)
+    return np.concatenate([cols, alpha[..., None]], -1)       # [N,16,4]
+
+
+def _bc4_channel(blocks8):
+    """blocks8: [N,8] uint8 (one BC4/alpha block) -> [N,16] float."""
+    a0 = blocks8[:, 0].astype(np.float32)
+    a1 = blocks8[:, 1].astype(np.float32)
+    bits = np.zeros(blocks8.shape[0], np.uint64)
+    for i in range(6):
+        bits |= blocks8[:, 2 + i].astype(np.uint64) << np.uint64(8 * i)
+    sel = (bits[:, None] >> (3 * np.arange(16, dtype=np.uint64))[None]
+           ).astype(np.int64) & 7
+    pal = np.zeros((blocks8.shape[0], 8), np.float32)
+    pal[:, 0] = a0
+    pal[:, 1] = a1
+    seven = a0 > a1
+    for i in range(1, 7):
+        pal[:, 1 + i] = np.where(
+            seven, ((7 - i) * a0 + i * a1) / 7.0,
+            0.0)
+    for i in range(1, 5):
+        pal[:, 1 + i] = np.where(seven, pal[:, 1 + i],
+                                 ((5 - i) * a0 + i * a1) / 5.0)
+    pal[:, 6] = np.where(seven, pal[:, 6], 0.0)
+    pal[:, 7] = np.where(seven, pal[:, 7], 255.0)
+    return np.take_along_axis(pal, sel, 1) / 255.0
+
+
+def _blocks_to_image(tex, h, w):
+    """[N,16,C] per-block texels -> [h,w,C]."""
+    bh, bw = (h + 3) // 4, (w + 3) // 4
+    c = tex.shape[-1]
+    img = tex.reshape(bh, bw, 4, 4, c).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(img.reshape(bh * 4, bw * 4, c))[:h, :w]
+
+
+def load_dds(path: str) -> np.ndarray:
+    """DDS -> float32 [H,W,C] in 0..1 (top mip).  Supports uncompressed
+    RGBA8/BGRA8/luminance and BC1/BC2/BC3 (color+alpha), BC4 (1ch),
+    BC5 (2ch)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"DDS ":
+        raise ValueError(f"{path}: not a DDS file")
+    (hsize, flags, h, w) = struct.unpack_from("<IIII", raw, 4)
+    pf_flags, fourcc = struct.unpack_from("<II", raw, 80)
+    rgb_bits, rmask, gmask, bmask, amask = struct.unpack_from("<IIIII",
+                                                              raw, 88)
+    off = 4 + 124
+    cc = raw[84:88]
+    if cc == b"DX10":
+        (dxgi,) = struct.unpack_from("<I", raw, off)
+        off += 20
+        dxgi_map = {71: b"DXT1", 74: b"DXT3", 77: b"DXT5",
+                    80: b"ATI1", 83: b"ATI2", 28: b"", 87: b""}
+        if dxgi in (28, 29):            # R8G8B8A8
+            cc, pf_flags, rgb_bits = b"", 0x41, 32
+            rmask, gmask, bmask, amask = (0xFF, 0xFF00, 0xFF0000,
+                                          0xFF000000)
+        elif dxgi in (87, 88):          # B8G8R8A8
+            cc, pf_flags, rgb_bits = b"", 0x41, 32
+            rmask, gmask, bmask, amask = (0xFF0000, 0xFF00, 0xFF,
+                                          0xFF000000)
+        elif dxgi in dxgi_map:
+            cc = dxgi_map[dxgi]
+        else:
+            raise ValueError(f"{path}: unsupported DXGI format {dxgi}")
+    bh, bw = (h + 3) // 4, (w + 3) // 4
+    n = bh * bw
+    if cc in (b"DXT1",):
+        blocks = np.frombuffer(raw, np.uint8, n * 8, off).reshape(n, 8)
+        return _blocks_to_image(_bc1_colors(blocks), h, w)
+    if cc in (b"DXT3",):
+        blk = np.frombuffer(raw, np.uint8, n * 16, off).reshape(n, 16)
+        a4 = np.zeros((n, 16), np.float32)
+        for i in range(8):
+            byte = blk[:, i].astype(np.uint16)
+            a4[:, 2 * i] = (byte & 0xF) / 15.0
+            a4[:, 2 * i + 1] = (byte >> 4) / 15.0
+        tex = _bc1_colors(blk[:, 8:], force_four=True)
+        tex[..., 3] = a4
+        return _blocks_to_image(tex, h, w)
+    if cc in (b"DXT5",):
+        blk = np.frombuffer(raw, np.uint8, n * 16, off).reshape(n, 16)
+        tex = _bc1_colors(blk[:, 8:], force_four=True)
+        tex[..., 3] = _bc4_channel(blk[:, :8])
+        return _blocks_to_image(tex, h, w)
+    if cc in (b"ATI1", b"BC4U"):
+        blk = np.frombuffer(raw, np.uint8, n * 8, off).reshape(n, 8)
+        return _blocks_to_image(_bc4_channel(blk)[..., None], h, w)[..., 0]
+    if cc in (b"ATI2", b"BC5U"):
+        blk = np.frombuffer(raw, np.uint8, n * 16, off).reshape(n, 16)
+        r = _bc4_channel(blk[:, :8])
+        g = _bc4_channel(blk[:, 8:])
+        return _blocks_to_image(np.stack([r, g], -1), h, w)
+    if pf_flags & 0x40 or pf_flags & 0x41:   # uncompressed RGB(A)
+        bypp = rgb_bits // 8
+        data = np.frombuffer(raw, np.uint8, h * w * bypp, off)
+        px = data.reshape(h, w, bypp).astype(np.uint32)
+        word = np.zeros((h, w), np.uint32)
+        for i in range(bypp):
+            word |= px[..., i] << np.uint32(8 * i)
+
+        def chan(mask):
+            if not mask:
+                return np.ones((h, w), np.float32)
+            shift = (mask & -mask).bit_length() - 1
+            return ((word & np.uint32(mask)) >> np.uint32(shift)
+                    ).astype(np.float32) / float(mask >> shift)
+        out = [chan(rmask), chan(gmask), chan(bmask)]
+        if amask:
+            out.append(chan(amask))
+        return np.stack(out, -1)
+    if pf_flags & 0x20000:                   # luminance
+        data = np.frombuffer(raw, np.uint8, h * w, off)
+        return data.reshape(h, w).astype(np.float32) / 255.0
+    raise ValueError(f"{path}: unsupported DDS pixel format")
