@@ -28,7 +28,14 @@ class ResourceFormat:
         return name
 
 
-__all__ = ["RenderGraph", "create_pass", "uint2", "float2", "float3",
-           "float4", "ResourceFormat"]
+def createPass(pass_type: str, props: dict | None = None):
+    """Upstream binding name (RenderPass factory): scripts do
+    `p = createPass("AccumulatePass", {...}); g.addPass(p, "name")`
+    (reference scripts/MinimalPathTracer.py:5-10)."""
+    return create_pass(pass_type, props)
+
+
+__all__ = ["RenderGraph", "create_pass", "createPass", "uint2", "float2",
+           "float3", "float4", "ResourceFormat"]
 
 sys.modules.setdefault("falcor", sys.modules[__name__])

@@ -139,7 +139,8 @@ class AOGuidedBlur(RenderPass):
     Input 'in' may be lower-res than 'depth' — the uv-space sampling makes
     this the guided *upsample* used by the quarter-res pipeline."""
 
-    SCHEMA = dict(kernelRadius=4, localDeviation=True)
+    SCHEMA = dict(kernelRadius=4, localDeviation=True, enabled=True,
+                  clampResults=True)
 
     DEPTH_VARIANCE = 0.001
     SPATIAL_VARIANCE = 16.4
@@ -147,14 +148,41 @@ class AOGuidedBlur(RenderPass):
     ENHANCE_CONTRAST = 1.0
 
     def reflect(self, ctx):
-        return (PassReflection().add_input("in").add_input("depth")
-                .add_output("out"))
+        # channel aliases: the reference names are ao2/lineardepth -> color
+        # (AOGuidedBlur.cpp:37-40); the repo's graphs use in/depth -> out
+        return (PassReflection().add_input("in", optional=True)
+                .add_input("depth", optional=True)
+                .add_input("ao2", optional=True)
+                .add_input("lineardepth", optional=True)
+                .add_output("out").add_output("color"))
 
     def execute(self, ctx, inputs, state=None):
-        src = inputs["in"]
+        src = inputs.get("in", inputs.get("ao2"))
+        depth_full = inputs.get("depth", inputs.get("lineardepth"))
+        if src is None or depth_full is None:
+            raise KeyError("AOGuidedBlur needs in/ao2 and depth/lineardepth")
+        # reference-graph form: 4x4-deinterleaved texture arrays
+        # ([16,qh,qw,...], DeinterleaveTexture outputs). Re-interleave,
+        # blur at full res (same estimator, full spatial support), and
+        # hand back both layouts.
+        deint = src.ndim >= 3 and src.shape[0] == 16
+        if deint:
+            from .interleave import deinterleave_4x4, interleave_4x4
+            fh, fw = src.shape[1] * 4, src.shape[2] * 4
+            src = interleave_4x4(src, fh, fw)
+            if depth_full.ndim == 3 and depth_full.shape[0] == 16:
+                depth_full = interleave_4x4(depth_full, fh, fw)
         if src.ndim == 2:
             src = jnp.stack([src, src], -1)
-        depth_full = inputs["depth"]
+        if not self.cfg["enabled"]:
+            # reference blits input to output when disabled
+            # (AOGuidedBlur.cpp:130-139); fusion of bright/dark still
+            # applies downstream semantics via the plain mean
+            out = src[..., :2].mean(-1)
+            if deint:
+                from .interleave import deinterleave_4x4
+                out = deinterleave_4x4(out)
+            return {"out": out, "color": out}, None
         hf, wf = depth_full.shape
         hs, ws = src.shape[:2]
         r = int(self.cfg["kernelRadius"])
@@ -208,7 +236,13 @@ class AOGuidedBlur(RenderPass):
         dev = dev.at[..., 0].set(dev[..., 0] * self.ENHANCE_CONTRAST)
         wgt = dev[..., ::-1] / jnp.maximum(dev[..., 0] + dev[..., 1], 1e-8)[..., None]
         c = jnp.sum(c_orig * wgt, -1)
-        return {"out": c}, None
+        # clampResults is accepted for reference-script parity; the
+        # reference shader's clamp is commented out upstream
+        # (AOGuidedBlur.ps.slang:155,201), so it is a documented no-op
+        if deint:
+            from .interleave import deinterleave_4x4
+            c = deinterleave_4x4(c)
+        return {"out": c, "color": c}, None
 
 
 @register_pass("AOVarianceFix")

@@ -15,6 +15,25 @@ from ..rendergraph.render_pass import PassReflection, RenderPass, register_pass
 from ..utils.math import normalize, transform_point
 
 
+def pattern_jittered_scene(scene, pattern, sample_count, frame_index,
+                           width, height):
+    """Per-frame camera sub-pixel jitter from the pass's sample pattern —
+    the reference updates the camera from a CPUSampleGenerator each frame
+    (GBufferBase::updateSamplePattern; Camera::setJitter scales by
+    1/resolution). Center = unchanged; otherwise offset index cycles with
+    frame_index so TAA/AccumulatePass see a moving sample point."""
+    if pattern in ("Center", None, ""):
+        return scene
+    from ..utils.sampling import sample_pattern_offsets
+    from ..utils.structs import replace
+    offs = jnp.asarray(sample_pattern_offsets(pattern, int(sample_count)))
+    idx = jnp.mod(jnp.asarray(frame_index, jnp.int32), offs.shape[0])
+    o = offs[idx]
+    cam = scene.camera
+    cam2 = replace(cam, jitter_x=o[0] / width, jitter_y=o[1] / height)
+    return scene.with_camera(cam2)
+
+
 def raster_gbuffer(scene, width, height, cull="back", max_per_tile=256,
                    apply_jitter=True):
     """Shared raster + channel materialization."""
@@ -87,7 +106,10 @@ class GBufferRaster(RenderPass):
         return r
 
     def execute(self, ctx, inputs, state=None):
-        out = raster_gbuffer(ctx.scene, ctx.width, ctx.height,
+        scene = pattern_jittered_scene(ctx.scene, self.cfg["samplePattern"],
+                                       self.cfg["sampleCount"],
+                                       ctx.frame_index, ctx.width, ctx.height)
+        out = raster_gbuffer(scene, ctx.width, ctx.height,
                              cull=self.cfg["cull"].lower(),
                              max_per_tile=int(self.cfg["maxPerTile"]))
         return out, None

@@ -30,23 +30,50 @@ def _min_pool2(a, op):
 
 @register_pass("ZMipmaps")
 class ZMipmaps(RenderPass):
-    """Min/max depth pyramid (ZMipmaps.cpp:77-78). Outputs the full mip chain
-    as a dict-valued channel (list of [H/2^i, W/2^i, 2] min/max)."""
+    """Linear-depth mip pyramid with the reference's thresholded
+    perspective-correct downsample (Mip.ps.slang:13-38: per quad, take the
+    max non-far depth as ref, keep texels with d > threshold*ref, output the
+    harmonic mean 1/avg(1/d); farZ when the whole quad is far). threshold
+    adapts per level when adaptiveThreshold (ZMipmaps.cpp:105-107).
 
-    SCHEMA = dict(levels=6)
+    Channels use the reference names (linearZ -> linearZMip: the level-0
+    copy, reference scripts feed it straight into SVAO.depth; the chain
+    itself rides the 'mips' channel as a tuple)."""
+
+    SCHEMA = dict(mipLevels=-1, threshold=0.9, adaptiveThreshold=True)
 
     def reflect(self, ctx):
-        return PassReflection().add_input("depth").add_output("mips")
+        return (PassReflection().add_input("linearZ")
+                .add_output("linearZMip").add_output("mips"))
 
     def execute(self, ctx, inputs, state=None):
-        d = inputs["depth"]
-        mins, maxs = d, d
+        d = inputs["linearZ"]
+        far_z = jnp.float32(ctx.scene.camera.far_z)
+        t0 = float(self.cfg["threshold"])
+        n = int(self.cfg["mipLevels"])
+        if n < 0:
+            n = max(1, int(np.floor(np.log2(min(d.shape)))))
         mips = []
-        for _ in range(int(self.cfg["levels"])):
-            mins = _min_pool2(mins, jnp.minimum)
-            maxs = _min_pool2(maxs, jnp.maximum)
-            mips.append(jnp.stack([mins, maxs], -1))
-        return {"mips": tuple(mips)}, None
+        cur = d
+        for i in range(n):
+            h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+            if h2 < 1 or w2 < 1:
+                break
+            t = t0
+            if self.cfg["adaptiveThreshold"]:
+                t = t0 / (t0 + 2.0 ** i * (1.0 - t0))
+            e = cur[:h2 * 2, :w2 * 2]
+            quad = jnp.stack([e[0::2, 0::2], e[0::2, 1::2],
+                              e[1::2, 0::2], e[1::2, 1::2]])     # [4,h2,w2]
+            valid = quad < far_z
+            ref = jnp.max(jnp.where(valid, quad, 1e-10), axis=0)
+            w = (valid & (quad > t * ref)).astype(jnp.float32)
+            wsum = jnp.sum(w, axis=0)
+            inv = jnp.sum(w / jnp.maximum(quad, 1e-10), axis=0)
+            cur = jnp.where(wsum > 0.0, wsum / jnp.maximum(inv, 1e-20),
+                            far_z)
+            mips.append(cur)
+        return {"linearZMip": d, "mips": tuple(mips)}, None
 
 
 @register_pass("VarianceMap")
@@ -305,7 +332,7 @@ class TemporalDepthPeel(RenderPass):
     """Second depth layer from the reprojected previous frame
     (TemporalDepthPeel.cpp:140-144)."""
 
-    SCHEMA = dict()
+    SCHEMA = dict(minSeparationDistance=0.5)
 
     def reflect(self, ctx):
         return (PassReflection().add_input("linearZ").add_input("mvec")
@@ -324,7 +351,9 @@ class TemporalDepthPeel(RenderPass):
         uv = _grid_uv(h, w) + mvec
         prev = _bilinear(state["prev"][..., None], uv)[..., 0]
         # previous depth only counts as a second layer if behind the first
-        d2 = jnp.where(state["valid"] & (prev > z + 0.01), prev, cam.far_z)
+        # by at least minSeparationDistance (TemporalDepthPeel.cpp:53,140)
+        sep = float(self.cfg["minSeparationDistance"])
+        d2 = jnp.where(state["valid"] & (prev > z + sep), prev, cam.far_z)
         nl = cam.far_z * (d2 - cam.near_z) / (jnp.maximum(d2, 1e-6)
                                               * (cam.far_z - cam.near_z))
         return ({"depth2": jnp.clip(nl, 0.0, 1.0)},

@@ -127,7 +127,12 @@ class ToneMapper(RenderPass):
         return PassReflection().add_input("src").add_output("dst")
 
     def execute(self, ctx, inputs, state=None):
-        c = inputs["src"][..., :3]
+        c = inputs["src"]
+        if c.ndim == 2:
+            # single-channel source (e.g. a linear-depth debug view): D3D
+            # samples an R32Float texture as (r, 0, 0, 1) — match that
+            c = jnp.stack([c, jnp.zeros_like(c), jnp.zeros_like(c)], -1)
+        c = c[..., :3]
 
         if self.cfg["autoExposure"]:
             # avg of log2-luminance == highest mip of the log-luminance

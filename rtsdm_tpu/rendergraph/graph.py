@@ -77,6 +77,36 @@ class RenderGraph:
         for p in self.passes.values():
             p.set_scene(scene)
 
+    # camelCase aliases: upstream Falcor scripts use the newer binding names
+    # (addPass/addEdge/markOutput, e.g. reference scripts/MinimalPathTracer
+    # .py), while the research fork's generated scripts use snake_case —
+    # both API surfaces run verbatim through the falcor shim.
+    def addPass(self, p: RenderPass, name: str):
+        return self.add_pass(p, name)
+
+    def addEdge(self, src: str, dst: str):
+        return self.add_edge(src, dst)
+
+    def removeEdge(self, src: str, dst: str):
+        self.edges = [e for e in self.edges
+                      if not (f"{e[0]}.{e[1]}" == src
+                              and f"{e[2]}.{e[3]}" == dst)]
+        self.order_edges = [e for e in self.order_edges
+                            if e != (src, dst)]
+        self._order = None
+
+    def markOutput(self, name: str):
+        return self.mark_output(name)
+
+    def unmarkOutput(self, name: str):
+        return self.unmark_output(name)
+
+    def removePass(self, name: str):
+        return self.remove_pass(name)
+
+    def getPass(self, name: str) -> RenderPass:
+        return self.passes[name]
+
     def render_ui(self) -> dict:
         """Declarative UI tree for every pass (headless renderUI analogue;
         reference RenderGraphUI / RenderPass.h:214)."""

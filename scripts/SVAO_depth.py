@@ -11,7 +11,8 @@ PASSES = [
     ('LinearizeDepth', 'LinearizeDepth', {}),
     ('GuardBand', 'GuardBand', dict(guardBand=64)),
     ('DepthPeeling', 'DepthPeeling', dict(cullMode='Back', minSeparationDistance=0.5)),
-    ('TemporalDepthPeel', 'TemporalDepthPeel', {}),
+    ('TemporalDepthPeel', 'TemporalDepthPeel',
+     dict(minSeparationDistance=0.01)),
     ('DepthSelect', 'Switch', dict(count=2, selected=0, i0='Temporal', i1='Peel')),
     ('LinearizeDepth2', 'LinearizeDepth', {}),
     ('CompressNormals', 'CompressNormals', dict(viewSpace=True, use16Bit=True)),

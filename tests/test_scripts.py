@@ -37,3 +37,20 @@ def test_svao_depth_renders():
     out = m.renderFrame()
     assert out["Ambient.out"].shape == (64, 64, 4)
     assert out["AmbientRef.out"].shape == (64, 64, 4)
+
+
+REF_SCRIPTS = sorted(glob.glob("/root/reference/scripts/*.py"))
+
+
+@pytest.mark.skipif(not REF_SCRIPTS, reason="reference scripts not mounted")
+@pytest.mark.parametrize("script", REF_SCRIPTS, ids=os.path.basename)
+def test_reference_script_runs_verbatim(script):
+    """Every graph script shipped by the reference builds UNMODIFIED through
+    the falcor shim (both API generations: the fork's g.create_pass/add_edge
+    and upstream's createPass/addPass/markOutput) — the user-facing API
+    contract (SURVEY §2.4)."""
+    m = Renderer(width=64, height=64, use_jit=False)
+    run_script(script, m)
+    assert m.active_graph is not None
+    order = m.active_graph._execution_order()
+    assert len(order) == len(m.active_graph.passes)

@@ -186,3 +186,68 @@ def test_algorithm_primitives():
     seg = alg.segment_sum(jnp.ones((8,)), jnp.asarray([0, 0, 1, 3, 3, 3, 1, 0]),
                           num_segments=4)
     np.testing.assert_array_equal(np.asarray(seg), [3, 2, 0, 3])
+
+
+def test_sample_pattern_offsets():
+    """Camera sample patterns (reference Utils/SampleGenerators): DX8 table
+    values, Halton = radical inverse - 0.5, stratified covers all bins, and
+    the pattern actually jitters the G-buffer raster per frame."""
+    dx = us.sample_pattern_offsets("DirectX", 8)
+    assert dx.shape == (8, 2)
+    np.testing.assert_allclose(dx[0], [1 / 16, -3 / 16])
+    hal = us.sample_pattern_offsets("Halton", 16)
+    np.testing.assert_allclose(hal[0], [0.0, 1 / 3 - 0.5], atol=1e-6)
+    assert (np.abs(hal) <= 0.5).all()
+    st = us.sample_pattern_offsets("Stratified", 16)
+    assert st.shape == (16, 2) and (np.abs(st) <= 0.5).all()
+    assert us.sample_pattern_offsets("Center", 4).shape == (1, 2)
+    with pytest.raises(ValueError):
+        us.sample_pattern_offsets("Nope", 4)
+
+
+def test_pattern_jitter_moves_gbuffer():
+    """samplePattern != Center shifts the rasterized depth sub-pixel per
+    frame (the previously-dead config now drives camera jitter)."""
+    from rtsdm_tpu.passes.gbuffer import GBufferRaster
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.scene.procedural import cornell_box
+    scene = cornell_box()
+    outs = {}
+    for fi in (0, 1):
+        p = GBufferRaster(dict(samplePattern="Halton", sampleCount=8))
+        ctx = RenderContext(width=48, height=48, scene=scene, frame_index=fi)
+        outs[fi], _ = p.execute(ctx, {})
+    assert not np.allclose(np.asarray(outs[0]["depth"]),
+                           np.asarray(outs[1]["depth"]))
+    # Center is frame-invariant
+    p = GBufferRaster({})
+    a = p.execute(RenderContext(width=48, height=48, scene=scene,
+                                frame_index=0), {})[0]
+    b = p.execute(RenderContext(width=48, height=48, scene=scene,
+                                frame_index=1), {})[0]
+    np.testing.assert_array_equal(np.asarray(a["depth"]),
+                                  np.asarray(b["depth"]))
+
+
+def test_zmipmaps_thresholded_harmonic_mean():
+    """ZMipmaps downsample semantics (Mip.ps.slang:13-38): far-plane texels
+    drop out, threshold rejects foreground relative to the quad max, output
+    is the perspective-correct harmonic mean."""
+    from rtsdm_tpu.passes.pipeline_misc import ZMipmaps
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.scene.procedural import cornell_box
+    scene = cornell_box()
+    far = float(scene.camera.far_z)
+    z = np.full((4, 4), far, np.float32)
+    z[0, 0] = 10.0
+    z[0, 1] = 9.5      # within threshold*ref of 10 -> averaged
+    z[1, 0] = 1.0      # below threshold*10 -> rejected
+    p = ZMipmaps(dict(mipLevels=2, threshold=0.9, adaptiveThreshold=False))
+    ctx = RenderContext(width=4, height=4, scene=scene)
+    out, _ = p.execute(ctx, {"linearZ": jnp.asarray(z)})
+    np.testing.assert_array_equal(np.asarray(out["linearZMip"]), z)
+    m0 = np.asarray(out["mips"][0])
+    assert m0.shape == (2, 2)
+    np.testing.assert_allclose(m0[0, 0], 2.0 / (1 / 10.0 + 1 / 9.5),
+                               rtol=1e-6)
+    assert m0[1, 1] == far                       # all-far quad stays far
