@@ -170,8 +170,10 @@ class AOGuidedBlur(RenderPass):
             from .interleave import deinterleave_4x4, interleave_4x4
             fh, fw = src.shape[1] * 4, src.shape[2] * 4
             src = interleave_4x4(src, fh, fw)
-            if depth_full.ndim == 3 and depth_full.shape[0] == 16:
+            if depth_full.ndim >= 3 and depth_full.shape[0] == 16:
                 depth_full = interleave_4x4(depth_full, fh, fw)
+        if depth_full.ndim == 3 and depth_full.shape[-1] == 1:
+            depth_full = depth_full[..., 0]
         if src.ndim == 2:
             src = jnp.stack([src, src], -1)
         if not self.cfg["enabled"]:
@@ -254,12 +256,32 @@ class AOVarianceFix(RenderPass):
     SCHEMA = dict(kernelRadius=2)
 
     def reflect(self, ctx):
-        return PassReflection().add_input("in").add_output("out")
+        # repo form: stacked bright/dark on 'in'; reference form: separate
+        # bright/dark/lineardepth planes (AOVarianceFix.cpp:35-40), possibly
+        # 4x4-deinterleaved; output rides both 'out' and 'color'
+        return (PassReflection().add_input("in", optional=True)
+                .add_input("bright", optional=True)
+                .add_input("dark", optional=True)
+                .add_input("lineardepth", optional=True)
+                .add_output("out").add_output("color"))
 
     def execute(self, ctx, inputs, state=None):
-        src = inputs["in"]
+        deint = False
+        if "in" in inputs:
+            src = inputs["in"]
+        else:
+            b, dk = inputs["bright"], inputs["dark"]
+            if b.ndim >= 3 and b.shape[0] == 16:
+                from .interleave import interleave_4x4
+                fh, fw = b.shape[1] * 4, b.shape[2] * 4
+                b = interleave_4x4(b, fh, fw)
+                dk = interleave_4x4(dk, fh, fw)
+                deint = True
+            if b.ndim == 3 and b.shape[-1] == 1:
+                b, dk = b[..., 0], dk[..., 0]
+            src = jnp.stack([b, dk], -1)
         if src.ndim == 2:
-            return {"out": src}, None
+            return {"out": src, "color": src}, None
         r = int(self.cfg["kernelRadius"])
         h, w = src.shape[:2]
         acc = jnp.zeros_like(src[..., :2])
@@ -276,4 +298,8 @@ class AOVarianceFix(RenderPass):
         dev = jnp.sqrt(jnp.maximum(acc_sq / cnt - mean * mean, 0.0))
         dev = dev.at[..., 1].set(jnp.maximum(dev[..., 1], 0.01))
         wgt = dev[..., ::-1] / jnp.maximum(dev[..., 0] + dev[..., 1], 1e-8)[..., None]
-        return {"out": jnp.sum(src[..., :2] * wgt, -1)}, None
+        out = jnp.sum(src[..., :2] * wgt, -1)
+        if deint:
+            from .interleave import deinterleave_4x4
+            out = deinterleave_4x4(out)
+        return {"out": out, "color": out}, None

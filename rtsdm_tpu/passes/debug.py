@@ -26,6 +26,13 @@ class SceneDebugger(RenderPass):
         return r.add_output("output")
 
     def execute(self, ctx, inputs, state=None):
+        if not inputs:
+            # the reference SceneDebugger graph is the bare pass with no
+            # wired inputs (scripts/SceneDebugger.py): it owns its V-buffer
+            # and materializes what the selected mode needs — raster the
+            # G-buffer internally
+            from .gbuffer import raster_gbuffer
+            inputs = raster_gbuffer(ctx.scene, ctx.width, ctx.height)
         mode = self.cfg["mode"]
         if mode == "Depth":
             d = ctx.scene.camera.linearize_depth(inputs["depth"])

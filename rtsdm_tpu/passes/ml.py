@@ -27,7 +27,8 @@ class VAOExport(RenderPass):
 
     SCHEMA = dict(outputDir="/tmp/vao_export", prefix="vao", enabled=True)
 
-    CHANNELS = ["bright", "dark", "depth", "normals", "ao", "requireRay"]
+    CHANNELS = ["bright", "dark", "depth", "normals", "ao", "requireRay",
+                "invDepth", "ref", "importance"]
 
     def __init__(self, props=None):
         super().__init__(props)
@@ -37,7 +38,9 @@ class VAOExport(RenderPass):
         r = PassReflection()
         for c in self.CHANNELS:
             r.add_input(c, optional=True)
-        return r
+        # the reference marks VAOExport.dummy as a graph output so the
+        # export pass executes (scripts/SAVO_record.py:145)
+        return r.add_output("dummy")
 
     def execute(self, ctx, inputs, state=None):
         if self.cfg["enabled"]:
@@ -48,7 +51,8 @@ class VAOExport(RenderPass):
                     f"{self.cfg['prefix']}_{k}_{self.frame}.npy"),
                     np.asarray(v, np.float32))
             self.frame += 1
-        return {}, None
+        import jax.numpy as jnp
+        return {"dummy": jnp.zeros((1, 1))}, None
 
 
 @register_pass("ConvolutionalNet")
@@ -70,12 +74,38 @@ class ConvolutionalNet(RenderPass):
                             for i in range(n)]
 
     def reflect(self, ctx):
-        return PassReflection().add_input("input").add_output("output")
+        # two wiring forms: the generic single 'input', or the reference
+        # SAVO_record form — deinterleaved bright/dark/importance/depth
+        # feature planes in, refined AO 'out' (SVAO/NeuralNet.h:6-84,
+        # reference scripts/SAVO_record.py:82-100)
+        return (PassReflection().add_input("input", optional=True)
+                .add_input("bright", optional=True)
+                .add_input("dark", optional=True)
+                .add_input("importance", optional=True)
+                .add_input("depth", optional=True)
+                .add_output("output").add_output("out"))
 
     def execute(self, ctx, inputs, state=None):
+        if "input" not in inputs and "bright" in inputs:
+            feats = [inputs[k] for k in ("bright", "dark", "importance",
+                                         "depth") if k in inputs]
+            feats = [f[..., 0] if f.ndim == 4 and f.shape[-1] == 1 else f
+                     for f in feats]
+            x = jnp.stack(feats, -1)          # [..., C] feature planes
+            if self._layers is None:
+                # untrained net = identity on the bright AO channel
+                out = inputs["bright"]
+                return {"output": out, "out": out}, None
+            if x.ndim == 4:                   # deinterleaved [16,qh,qw,C]
+                out = jax.vmap(lambda s: self._run(s))(x)
+                out = out[..., 0] if out.shape[-1] == 1 else out
+                return {"output": out, "out": out}, None
+            out = self._run(x)
+            out = out[..., 0] if out.shape[-1] == 1 else out
+            return {"output": out, "out": out}, None
         x = inputs["input"]
         if self._layers is None:
-            return {"output": x}, None
+            return {"output": x, "out": x}, None
         squeeze = x.ndim == 2
         if squeeze:
             x = x[..., None]
@@ -89,4 +119,18 @@ class ConvolutionalNet(RenderPass):
             if self.cfg["relu"] and i + 1 < len(self._layers):
                 y = jnp.maximum(y, 0)
         out = y[0].astype(jnp.float32)
-        return {"output": out[..., 0] if squeeze and out.shape[-1] == 1 else out}, None
+        out = out[..., 0] if squeeze and out.shape[-1] == 1 else out
+        return {"output": out, "out": out}, None
+
+    def _run(self, x):
+        """[H,W,C] -> [H,W,Cout] through the conv stack (bf16 MXU)."""
+        y = x.astype(jnp.bfloat16)[None]
+        for i, (w, b) in enumerate(self._layers):
+            y = jax.lax.conv_general_dilated(
+                y, w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            y = y + b
+            if self.cfg["relu"] and i + 1 < len(self._layers):
+                y = jnp.maximum(y, 0)
+        return y[0].astype(jnp.float32)

@@ -249,10 +249,26 @@ class PathTracer(RenderPass):
             self._clusters = None
 
     def reflect(self, ctx):
-        return (PassReflection().add_input("vbuffer", optional=True)
-                .add_input("viewW", optional=True)
-                .add_input("mvec", optional=True)
-                .add_output("color"))
+        r = (PassReflection().add_input("vbuffer", optional=True)
+             .add_input("viewW", optional=True)
+             .add_input("mvec", optional=True)
+             .add_output("color"))
+        for c in ["nrdEmission", "nrdDiffuseReflectance",
+                  "nrdSpecularReflectance", "nrdDiffuseRadianceHitDist",
+                  "nrdSpecularRadianceHitDist", "nrdResidualRadianceHitDist",
+                  "nrdDeltaReflectionRadianceHitDist",
+                  "nrdDeltaReflectionEmission",
+                  "nrdDeltaReflectionReflectance",
+                  "nrdDeltaReflectionNormWRoughMaterialID",
+                  "nrdDeltaReflectionPathLength", "nrdDeltaReflectionHitDist",
+                  "nrdDeltaTransmissionRadianceHitDist",
+                  "nrdDeltaTransmissionEmission",
+                  "nrdDeltaTransmissionReflectance",
+                  "nrdDeltaTransmissionNormWRoughMaterialID",
+                  "nrdDeltaTransmissionPathLength",
+                  "nrdDeltaTransmissionPosW"]:
+            r.add_output(c, optional=True)
+        return r
 
     # --- emissive light sampling --------------------------------------------
     def _sample_emissive(self, scene, p, u1, u2, u3, u4):
@@ -325,7 +341,68 @@ class PathTracer(RenderPass):
                 scene, cam, prim_o, prim_d, face_n, r, chunk,
                 fi * jnp.uint32(spp) + jnp.uint32(s),
                 inputs.get("vbuffer"))
-        return {"color": (total / spp).reshape(h, w, 3)}, None
+        color = (total / spp).reshape(h, w, 3)
+        out = {"color": color}
+        out.update(self._nrd_channels(scene, cam, prim_o, prim_d, face_n,
+                                      chunk, inputs.get("vbuffer"),
+                                      color, h, w))
+        return out, None
+
+    def _nrd_channels(self, scene, cam, o, d, face_n, chunk, vbuffer,
+                      color, h, w):
+        """NRD demodulation outputs (reference PathTracer kOutputNRD*
+        channels, consumed by scripts/PathTracerNRD.py). The repo's BSDF has
+        no delta lobes, so the delta-reflection/transmission families are
+        legitimately zero; non-delta indirect light rides the diffuse
+        radiance term and ModulateIllumination reconstructs
+        emission + diffRefl*diffRad exactly."""
+        from ..ops import brdf
+        from ..ops.materials import fetch_shading_materials
+        r = h * w
+        if vbuffer is not None:
+            tid = vbuffer[..., 0].reshape(-1).astype(jnp.int32)
+            tri = scene.positions[jnp.maximum(tid, 0)]
+            b1 = vbuffer[..., 1].reshape(-1)[..., None]
+            b2 = vbuffer[..., 2].reshape(-1)[..., None]
+            q = (tri[:, 0] * (1.0 - b1 - b2) + tri[:, 1] * b1 + tri[:, 2] * b2)
+            t = jnp.linalg.norm(q - o, axis=-1)
+        else:
+            t, tid = rt.closest_hit(scene, o, d, jnp.full((r,), 1e-3),
+                                    jnp.broadcast_to(cam.far_z, (r,)),
+                                    chunk=chunk)
+        hit = (tid >= 0).reshape(h, w)
+        mid = jnp.maximum(scene.material_id[jnp.maximum(tid, 0)], 0)
+        mat = fetch_shading_materials(scene, mid.reshape(h, w))
+        diff_alb, f0 = brdf.metallic_albedos(mat["base_color"],
+                                             mat["metallic"], mat["ior"])
+        m3 = hit[..., None].astype(jnp.float32)
+        emission = mat["emissive"] * m3
+        diff_refl = diff_alb * m3
+        spec_refl = f0 * m3
+        hit_t = jnp.where(hit, t.reshape(h, w), 0.0)[..., None]
+        diff_rad = (color - emission) / jnp.maximum(diff_refl, 1e-3) * m3
+        z4 = jnp.zeros((h, w, 4))
+        return {
+            "nrdEmission": emission,
+            "nrdDiffuseReflectance": diff_refl,
+            "nrdSpecularReflectance": spec_refl,
+            "nrdDiffuseRadianceHitDist": jnp.concatenate([diff_rad, hit_t], -1),
+            "nrdSpecularRadianceHitDist": jnp.concatenate(
+                [jnp.zeros((h, w, 3)), hit_t], -1),
+            "nrdResidualRadianceHitDist": z4,
+            "nrdDeltaReflectionRadianceHitDist": z4,
+            "nrdDeltaReflectionEmission": jnp.zeros((h, w, 3)),
+            "nrdDeltaReflectionReflectance": jnp.zeros((h, w, 3)),
+            "nrdDeltaReflectionNormWRoughMaterialID": z4,
+            "nrdDeltaReflectionPathLength": jnp.zeros((h, w)),
+            "nrdDeltaReflectionHitDist": jnp.zeros((h, w)),
+            "nrdDeltaTransmissionRadianceHitDist": z4,
+            "nrdDeltaTransmissionEmission": jnp.zeros((h, w, 3)),
+            "nrdDeltaTransmissionReflectance": jnp.zeros((h, w, 3)),
+            "nrdDeltaTransmissionNormWRoughMaterialID": z4,
+            "nrdDeltaTransmissionPathLength": jnp.zeros((h, w)),
+            "nrdDeltaTransmissionPosW": jnp.zeros((h, w, 3)),
+        }
 
     def _trace_sample(self, scene, cam, o, d, face_n, r, chunk, seed_base,
                       vbuffer):

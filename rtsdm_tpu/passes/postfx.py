@@ -67,7 +67,10 @@ class ModulateIllumination(RenderPass):
         r = PassReflection()
         for c in ["emission", "diffuseReflectance", "diffuseRadiance",
                   "specularReflectance", "specularRadiance",
-                  "residualRadiance"]:
+                  "residualRadiance", "deltaReflectionEmission",
+                  "deltaReflectionReflectance", "deltaReflectionRadiance",
+                  "deltaTransmissionEmission", "deltaTransmissionReflectance",
+                  "deltaTransmissionRadiance"]:
             r.add_input(c, optional=True)
         return r.add_output("output")
 
@@ -90,6 +93,11 @@ class ModulateIllumination(RenderPass):
             if refl is not None:
                 s = s * refl[..., :3]
             out = out + s
+        # delta lobe recombines (ModulateIllumination.cpp delta terms);
+        # zero-filled by the repo's path tracer (no delta BSDF lobes)
+        for fam in ("deltaReflection", "deltaTransmission"):
+            out = out + get(fam + "Emission")
+            out = out + get(fam + "Radiance") * get(fam + "Reflectance", 1.0)
         if self.cfg["useResidualRadiance"]:
             out = out + get("residualRadiance")
         return {"output": out}, None

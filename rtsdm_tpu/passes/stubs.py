@@ -53,7 +53,9 @@ NRDPass = _stub("NRDPass", ["radiance", "mvec", "normal"], "filteredRadiance")
 class NRD(RenderPass):
     SCHEMA = dict(enabled=True, method="RelaxDiffuseSpecular",
                   maxIntensity=1000.0, worldSpaceMotion=True,
-                  disocclusionThreshold=2.0)
+                  disocclusionThreshold=2.0,
+                  enableReprojectionTestSkippingWithoutMotion=False,
+                  spatialVarianceEstimationHistoryThreshold=3)
 
     def reflect(self, ctx):
         r = PassReflection()

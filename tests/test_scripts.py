@@ -54,3 +54,28 @@ def test_reference_script_runs_verbatim(script):
     assert m.active_graph is not None
     order = m.active_graph._execution_order()
     assert len(order) == len(m.active_graph.passes)
+
+
+REF_RENDER = [s for s in REF_SCRIPTS if os.path.basename(s) in
+              ("SceneDebugger.py", "MinimalPathTracer.py",
+               "SAVO_record.py", "PathTracerNRD.py")]
+
+
+@pytest.mark.skipif(not REF_RENDER, reason="reference scripts not mounted")
+@pytest.mark.parametrize("script", REF_RENDER, ids=os.path.basename)
+def test_reference_script_renders_verbatim(script, tmp_path):
+    """The upstream-API scripts also RENDER end-to-end unmodified (NRD
+    demodulation channels, deinterleaved AO chain, bare SceneDebugger);
+    the research-fork scripts are render-covered by the golden tier."""
+    import numpy as np
+    m = Renderer(width=48, height=48, use_jit=False)
+    run_script(script, m)
+    for p in m.active_graph.passes.values():
+        if "outputDir" in p.SCHEMA:        # VAOExport writes files
+            p.cfg["outputDir"] = str(tmp_path)
+    m.loadScene("CornellBox")
+    m.clock.pause()
+    out = m.renderFrame()
+    assert out
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
