@@ -150,6 +150,9 @@ class SceneBuilderAPI:
         self.lights = []
         self.camera = None
         self.env_radiance = (0.1, 0.1, 0.12)
+        self._nodes = []
+        self._meshes = []
+        self._sdf_grids = []
 
     def addMaterial(self, **kwargs):
         self.materials.append(kwargs)
@@ -173,6 +176,56 @@ class SceneBuilderAPI:
     def setEnvRadiance(self, rgb):
         self.env_radiance = tuple(rgb)
 
+    # --- reference SceneBuilder binding surface (node/instance form,
+    # Scene/SceneBuilder.h:54; used by shipped .pyscene assets) ----------
+    def addNode(self, name, transform=None, parent=-1):
+        import numpy as np_
+        m = np_.eye(4, dtype=np_.float32) if transform is None \
+            else transform.matrix
+        if parent >= 0:
+            m = self._nodes[parent] @ m
+        self._nodes.append(m)
+        return len(self._nodes) - 1
+
+    def addTriangleMesh(self, mesh, material):
+        mat_id = self.addMaterial(**material.to_props())
+        self._meshes.append((mesh.positions, mat_id))
+        return len(self._meshes) - 1
+
+    def addMeshInstance(self, node_id, mesh_id):
+        import numpy as np_
+        pos, mat_id = self._meshes[mesh_id]
+        m = self._nodes[node_id]
+        p = pos.reshape(-1, 3) @ m[:3, :3].T + m[:3, 3]
+        self.addTriangles(p.reshape(-1, 3, 3).astype(np_.float32), mat_id)
+
+    def addSDFGrid(self, sdf_grid, material):
+        mat_id = self.addMaterial(**material.to_props())
+        self._sdf_grids.append((sdf_grid, mat_id))
+        return len(self._sdf_grids) - 1
+
+    def addSDFGridInstance(self, node_id, grid_id):
+        """Mesh the grid's iso-surface (marching tetrahedra) into the
+        triangle soup under the node transform — the TPU ray/raster path
+        is triangle-native (scene/meshing.py)."""
+        import numpy as np_
+        grid, mat_id = self._sdf_grids[grid_id]
+        tris = grid.mesh()
+        if len(tris) == 0:
+            return
+        m = self._nodes[node_id]
+        p = tris.reshape(-1, 3) @ m[:3, :3].T + m[:3, 3]
+        self.addTriangles(p.reshape(-1, 3, 3).astype(np_.float32), mat_id)
+
+    def addCamera(self, camera):
+        self.camera = Camera.create(
+            position=tuple(camera.position), target=tuple(camera.target),
+            up=tuple(camera.up), focal_length=float(camera.focalLength),
+            near_z=float(camera.nearPlane), far_z=float(camera.farPlane))
+
+    def addEnvMap(self, *a, **k):
+        pass  # env textures ride loadScene-level options in this harness
+
     def build(self, name="pyscene") -> Scene:
         pos = np.concatenate(self.tris, 0) if self.tris else np.zeros((1, 3, 3), np.float32)
         mid = np.concatenate(self.mat_ids, 0) if self.mat_ids else np.zeros((1,), np.int32)
@@ -182,11 +235,32 @@ class SceneBuilderAPI:
 
 
 def import_pyscene(path) -> Scene:
-    """Execute a .pyscene script: it sees `sceneBuilder` (reference
-    PythonImporter contract)."""
+    """Execute a .pyscene script: it sees `sceneBuilder` plus the reference
+    PythonImporter object model (Material/TriangleMesh/SDFGrid/Transform/
+    Camera/float3/float4 — scene/pyscene_api.py), so shipped .pyscene assets
+    run verbatim; relative asset paths (.sdf files) resolve against the
+    script's directory like the reference importer."""
+    from . import pyscene_api as P
     builder = SceneBuilderAPI()
+    base = os.path.dirname(os.path.abspath(path))
+
+    class _SDFGrid(P.SDFGrid):
+        pass
+    for fac in ("createSBS", "createSVS", "createNDGrid", "createSVO"):
+        def make(fac=fac):
+            def f(*a, **k):
+                g = getattr(P.SDFGrid, fac)(*a, **k)
+                g.base_dir = base
+                return g
+            return staticmethod(f)
+        setattr(_SDFGrid, fac, make())
+
+    env = {"sceneBuilder": builder, "np": np,
+           "Material": P.Material, "TriangleMesh": P.TriangleMesh,
+           "SDFGrid": _SDFGrid, "Transform": P.Transform,
+           "Camera": P.CameraObj, "float3": P.float3, "float4": P.float4}
     code = open(path).read()
-    exec(compile(code, path, "exec"), {"sceneBuilder": builder, "np": np})
+    exec(compile(code, path, "exec"), env)
     return builder.build(os.path.splitext(os.path.basename(path))[0])
 
 
