@@ -18,6 +18,7 @@ from . import passes  # noqa: F401  (registers all pass types)
 # passes consume strings directly. Provide common names as str aliases so
 # scripts that reference them unqualified still run.
 uint2 = tuple
+uint3 = tuple
 float2 = tuple
 float3 = tuple
 float4 = tuple
@@ -28,6 +29,33 @@ class ResourceFormat:
         return name
 
 
+class Testbed:
+    """Windowless scriptable app shim (reference Core/Testbed.h:75; used by
+    the python test rigs, e.g. scripts/python/test_pytorch.py): wraps the
+    headless Renderer with the Testbed's createRenderGraph/renderGraph
+    surface."""
+
+    def __init__(self, width: int = 256, height: int = 256):
+        from .mogwai import Renderer
+        self._renderer = Renderer(width=width, height=height, use_jit=False)
+        self.renderGraph = None
+
+    def createRenderGraph(self, name: str):
+        g = RenderGraph(name)
+        g.createPass = lambda pname, ptype, props=None: (
+            g.create_pass(pname, ptype, props or {}))
+        return g
+
+    def loadScene(self, path: str):
+        self._renderer.loadScene(path)
+
+    def frame(self):
+        if self.renderGraph is not None \
+                and self.renderGraph not in self._renderer.graphs:
+            self._renderer.addGraph(self.renderGraph)
+        return self._renderer.renderFrame()
+
+
 def createPass(pass_type: str, props: dict | None = None):
     """Upstream binding name (RenderPass factory): scripts do
     `p = createPass("AccumulatePass", {...}); g.addPass(p, "name")`
@@ -35,7 +63,7 @@ def createPass(pass_type: str, props: dict | None = None):
     return create_pass(pass_type, props)
 
 
-__all__ = ["RenderGraph", "create_pass", "createPass", "uint2", "float2",
-           "float3", "float4", "ResourceFormat"]
+__all__ = ["RenderGraph", "create_pass", "createPass", "Testbed", "uint2",
+           "uint3", "float2", "float3", "float4", "ResourceFormat"]
 
 sys.modules.setdefault("falcor", sys.modules[__name__])

@@ -28,3 +28,4 @@ from . import svgf             # noqa: F401
 from . import bsdf_viewer      # noqa: F401
 from . import sdf_editor       # noqa: F401
 from . import comparison       # noqa: F401
+from . import test_passes      # noqa: F401

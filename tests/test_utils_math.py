@@ -251,3 +251,30 @@ def test_zmipmaps_thresholded_harmonic_mean():
     np.testing.assert_allclose(m0[0, 0], 2.0 / (1 / 10.0 + 1 / 9.5),
                                rtol=1e-6)
     assert m0[1, 1] == far                       # all-far quad stays far
+
+
+def test_pytorch_tensor_bridge():
+    """TestPyTorchPass (reference TestPasses/TestPyTorchPass.cpp:88-186):
+    tensors round-trip between the JAX compute path and torch via DLpack,
+    pattern data[k][j][i] = linear index + offset."""
+    import torch
+    from rtsdm_tpu.passes.test_passes import TestPyTorchPass
+    p = TestPyTorchPass({})
+    dim, offset = (3, 4, 5), 7
+    t = p.generateData(dim, offset)
+    assert isinstance(t, torch.Tensor) and tuple(t.shape) == dim
+    assert float(t[1, 2, 3]) == (1 * 4 + 2) * 5 + 3 + 7
+    # torch -> verify (exact round trip)
+    assert p.verifyData(dim, offset, t)
+    # wrong offset / mutated data fail verification
+    assert not p.verifyData(dim, offset + 1, t)
+    t2 = t.clone()
+    t2[0, 0, 0] += 1.0
+    assert not p.verifyData(dim, offset, t2)
+    # torch-built tensor verifies too (reference testTensorToFalcor)
+    data = torch.zeros(dim, dtype=torch.float32)
+    for k in range(dim[0]):
+        for j in range(dim[1]):
+            for i in range(dim[2]):
+                data[k][j][i] = (k * dim[1] + j) * dim[2] + i + 9
+    assert p.verifyData(dim, 9, data)
