@@ -18,7 +18,7 @@ The Raytraced reference mode runs through the brute-force XLA interval query,
 so configs use the small scene tier at REAL resolutions (the SD kernels are
 validated at reference scale separately, tools/pallas_parity.py).
 
-Usage: python tools/quality_ssim.py  (writes QUALITY_r02.json)
+Usage: python tools/quality_ssim.py  (writes QUALITY_r03.json)
 """
 import json
 import os
