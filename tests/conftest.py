@@ -6,6 +6,17 @@ and overrides JAX_PLATFORMS, so the env var alone is NOT enough — the
 platform must be switched via jax.config after import.
 """
 import os
+import resource
+
+# The XLA-CPU LLVM backend occasionally segfaults compiling the largest
+# whole-graph modules (mogwai renderFrame jits) with the default 8 MB main
+# stack — deep recursion during instruction selection. The hard limit is
+# unlimited here; lift the soft limit before jax loads.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):  # pragma: no cover - restricted sandbox
+    pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
