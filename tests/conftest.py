@@ -31,3 +31,19 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated XLA:CPU/LLVM state across the suite.
+
+    The flaky LLVM segfault (backend_compile_and_load, always ~70%+ through
+    the full run, a different test each time) correlates with hundreds of
+    live compiled executables, not with any single module. Dropping the
+    in-process caches at module boundaries keeps the resident compiler
+    state small; the persistent disk cache makes the recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
