@@ -30,10 +30,6 @@ class VAOExport(RenderPass):
     CHANNELS = ["bright", "dark", "depth", "normals", "ao", "requireRay",
                 "invDepth", "ref", "importance"]
 
-    def __init__(self, props=None):
-        super().__init__(props)
-        self.frame = 0
-
     def reflect(self, ctx):
         r = PassReflection()
         for c in self.CHANNELS:
@@ -43,15 +39,24 @@ class VAOExport(RenderPass):
         return r.add_output("dummy")
 
     def execute(self, ctx, inputs, state=None):
-        if self.cfg["enabled"]:
+        if self.cfg["enabled"] and inputs:
             os.makedirs(self.cfg["outputDir"], exist_ok=True)
-            for k, v in inputs.items():
-                np.save(os.path.join(
-                    self.cfg["outputDir"],
-                    f"{self.cfg['prefix']}_{k}_{self.frame}.npy"),
-                    np.asarray(v, np.float32))
-            self.frame += 1
-        import jax.numpy as jnp
+            out_dir, prefix = self.cfg["outputDir"], self.cfg["prefix"]
+            keys = sorted(inputs)
+
+            def _dump(frame_index, *arrays):
+                fi = int(frame_index)
+                for k, v in zip(keys, arrays):
+                    np.save(os.path.join(out_dir, f"{prefix}_{k}_{fi}.npy"),
+                            np.asarray(v, np.float32))
+
+            # host-side export: inputs are tracers under the frame jit, so
+            # the .npy dump must ride an io_callback (ordered: frames land
+            # on disk in submission order)
+            from jax.experimental import io_callback
+            io_callback(_dump, None,
+                        jnp.asarray(ctx.frame_index, jnp.int32),
+                        *[inputs[k] for k in keys], ordered=True)
         return {"dummy": jnp.zeros((1, 1))}, None
 
 

@@ -79,3 +79,38 @@ def test_reference_script_renders_verbatim(script, tmp_path):
     assert out
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_vao_export_under_jit(tmp_path):
+    """VAOExport must work inside the jitted frame path (the default
+    Renderer mode): its inputs are tracers, so the .npy dump rides an
+    ordered io_callback (ref VAOExport.cpp:57-62)."""
+    import numpy as np
+    import jax
+
+    from rtsdm_tpu.rendergraph.graph import RenderGraph
+
+    m = Renderer(width=32, height=32, use_jit=True)
+    g = RenderGraph("export")
+    g.create_pass("AO", "SVAO", {"secondaryDepthMode": "SingleDepth"})
+    g.create_pass("GB", "GBufferRaster", {})
+    g.create_pass("Lin", "LinearizeDepth", {})
+    g.create_pass("Export", "VAOExport", {"outputDir": str(tmp_path),
+                                          "prefix": "t"})
+    g.add_edge("GB.depth", "Lin.depth")
+    g.add_edge("GB.depth", "AO.gbufferDepth")
+    g.add_edge("Lin.linearDepth", "AO.depth")
+    g.add_edge("GB.faceNormalW", "AO.normals")
+    g.add_edge("AO.ao", "Export.ao")
+    g.mark_output("Export.dummy")
+    m.addGraph(g)
+    m.loadScene("CornellBox")
+    m.clock.pause()
+    m.renderFrame()
+    m.clock.step()  # paused clock keeps frame_index; advance explicitly
+    m.renderFrame()
+    jax.effects_barrier()
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert "t_ao_0.npy" in files and "t_ao_1.npy" in files, files
+    a = np.load(tmp_path / "t_ao_0.npy")
+    assert a.shape[:2] == (32, 32) and np.isfinite(a).all()
