@@ -260,7 +260,8 @@ def _model_matrix(props):
     return m
 
 
-def _layer_values(geom, layer_name, value_name, index_name, n_pv, poly_of_pv):
+def _layer_values(geom, layer_name, value_name, index_name, n_pv, poly_of_pv,
+                  cp=None):
     """Resolve a layer element to per-polygon-vertex values or None."""
     layer = geom.first(layer_name)
     if layer is None:
@@ -281,7 +282,11 @@ def _layer_values(geom, layer_name, value_name, index_name, n_pv, poly_of_pv):
     if mapping == "ByPolygonVertex":
         return vals[:n_pv] if len(vals) >= n_pv else None
     if mapping in ("ByVertice", "ByVertex", "ByControlPoint"):
-        return None  # caller maps through control-point indices
+        # one value per control point: expand through the polygon-vertex ->
+        # control-point index array
+        if cp is None:
+            return None
+        return vals[np.clip(cp, 0, len(vals) - 1)]
     if mapping == "ByPolygon":
         return vals[poly_of_pv]
     return None
@@ -376,9 +381,9 @@ def import_fbx(path, camera=None):
             nrm_m = np.eye(3)
 
         nrm_pv = _layer_values(geom, "LayerElementNormal", "Normals",
-                               "NormalsIndex", n_pv, poly_of_pv)
+                               "NormalsIndex", n_pv, poly_of_pv, cp)
         uv_pv = _layer_values(geom, "LayerElementUV", "UV", "UVIndex",
-                              n_pv, poly_of_pv)
+                              n_pv, poly_of_pv, cp)
 
         # per-polygon material index
         lm = geom.first("LayerElementMaterial")

@@ -289,3 +289,50 @@ def test_fbx_load_any_dispatch(tmp_path):
     _cube_fbx(p)
     scene = load_any(p)
     assert int(scene.num_triangles) == 5
+
+
+def test_fbx_by_control_point_layers(tmp_path):
+    """ByVertice / ByControlPoint layers carry one value per control point;
+    the importer must expand them through the polygon-vertex -> control-point
+    index array (they were silently discarded before)."""
+    verts = np.array([
+        -1, -1, -1,  1, -1, -1,  1, 1, -1,  -1, 1, -1,
+        -1, -1, 1,   1, -1, 1,   1, 1, 1,   -1, 1, 1,
+    ], np.float64)
+    v8 = verts.reshape(8, 3)
+    pvi = np.array([0, 1, 2, -4, 4, 5, 6, -8], np.int32)  # two quads
+    # per-control-point normal: the normalized vertex position
+    nrm_cp = (v8 / np.linalg.norm(v8, axis=1, keepdims=True)).ravel()
+    uv_cp = ((v8[:, :2] + 1.0) / 2.0).ravel()
+    geo = _emit_tree("Geometry", [1001, "Geometry::cube", "Mesh"], [
+        _emit_tree("Vertices", [verts]),
+        _emit_tree("PolygonVertexIndex", [pvi]),
+        _emit_tree("LayerElementNormal", [0], [
+            _emit_tree("MappingInformationType", ["ByVertice"]),
+            _emit_tree("ReferenceInformationType", ["Direct"]),
+            _emit_tree("Normals", [nrm_cp]),
+        ]),
+        _emit_tree("LayerElementUV", [0], [
+            _emit_tree("MappingInformationType", ["ByControlPoint"]),
+            _emit_tree("ReferenceInformationType", ["Direct"]),
+            _emit_tree("UV", [uv_cp]),
+        ]),
+    ])
+    model = _emit_tree("Model", [2001, "Model::cube", "Mesh"], [
+        _emit_tree("Properties70", children=[])])
+    objects = _emit_tree("Objects", children=[geo, model])
+    conns = _emit_tree("Connections", children=[
+        _emit_tree("C", ["OO", 1001, 2001])])
+    p = str(tmp_path / "bycp.fbx")
+    write_fbx(p, [objects, conns])
+
+    scene = import_fbx(p)
+    assert int(scene.num_triangles) == 4
+    pos = np.asarray(scene.positions)          # [T,3,3]
+    nrm = np.asarray(scene.normals)
+    uv = np.asarray(scene.texcoords)
+    # per corner: normal == normalize(position), uv == (pos.xy+1)/2
+    # (morton sort permutes triangles, so compare corner-wise)
+    exp_n = pos / np.linalg.norm(pos, axis=-1, keepdims=True)
+    np.testing.assert_allclose(nrm, exp_n, atol=1e-5)
+    np.testing.assert_allclose(uv, (pos[..., :2] + 1.0) / 2.0, atol=1e-5)
