@@ -129,7 +129,7 @@ def _fetch_fused_call(padded_sets, radius_q, *, pad, levels_key, offs_key,
     out = pl.pallas_call(
         kernel,
         grid=(nby, nbx),
-        in_specs=[rad_spec] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_src,
+        in_specs=[rad_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * n_src,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_src, nd, 16, hp, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((16, TH + 2 * pad, TW + 2 * pad),
@@ -194,48 +194,48 @@ def _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw):
     return tab, ok
 
 
-def _fetch_sd_kernel(k, n_levels, pad, guard, tab, bounds, r_frac,
-                     radius_ref, sd_hbm, out_ref, scratch, sem):
-    i = pl.program_id(0)
-    by = pl.program_id(1)
-    bx = pl.program_id(2)
+def _fetch_sd_kernel(k, n_levels, pad, guard, bounds,
+                     tab_ref, rfrac_ref, radius_ref, sd_hbm, out_ref,
+                     scratch, sem):
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
+    i = pl.program_id(2)                            # direction: FASTEST axis
+
     # tile origin in SD rows: out row ty+y maps to sd row y0 + ty + y with
     # y0 in [guard-pad, guard+pad] (clamping only bites at the map edge,
-    # where the guard band is dead anyway)
-    y_lo = by * TH + guard - pad
-    x_lo = bx * TW + guard - pad
-    pltpu.make_async_copy(
-        sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad), pl.ds(x_lo, TW + 2 * pad)],
-        scratch, sem).start()
-    pltpu.make_async_copy(
-        sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad), pl.ds(x_lo, TW + 2 * pad)],
-        scratch, sem).wait()
+    # where the guard band is dead anyway). Scratch persists across grid
+    # steps and direction is the fastest axis, so the halo DMA runs once
+    # per TILE, not once per (direction, tile).
+    @pl.when(i == 0)
+    def _dma():
+        y_lo = by * TH + guard - pad
+        x_lo = bx * TW + guard - pad
+        cp = pltpu.make_async_copy(
+            sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad),
+                      pl.ds(x_lo, TW + 2 * pad)],
+            scratch, sem)
+        cp.start()
+        cp.wait()
 
     radius = radius_ref[...]                        # [16, TH, TW]
-    big = scratch[...]                              # [k, TH+2p, TW+2p]
 
-    def dir_body(di):
-        m = radius * r_frac[di]
-        lvl = jnp.zeros((16, TH, TW), jnp.int32)
-        for b in bounds:
-            lvl = lvl + (m > b).astype(jnp.int32)
-        acc = jnp.zeros((16, k, TH, TW), jnp.float32)
-        for l in range(n_levels):
-            sls = []
-            for c in range(16):
-                dy = tab[di, l, c, 0]
-                dx = tab[di, l, c, 1]
-                sls.append(jax.lax.dynamic_slice(
-                    big, (0, dy, dx), (k, TH, TW)))
-            sl = jnp.stack(sls)                     # [16,k,TH,TW]
-            acc = jnp.where((lvl == l)[:, None], sl, acc)
-        return acc
-
-    # one branch per direction keeps the static slice tables per-dir while
-    # the grid stays data-parallel over (dir, tile)
-    acc = dir_body(0)
-    for di in range(1, tab.shape[0]):
-        acc = jnp.where(i == di, dir_body(di), acc)
+    # the per-direction radius fraction and slice origins ride in SMEM
+    # indexed by program_id: each direction body is traced and run ONCE per
+    # grid step (the previous compute-all-directions-select-one form did
+    # nd x the VPU work per block)
+    m = radius * rfrac_ref[i]
+    lvl = jnp.zeros((16, TH, TW), jnp.int32)
+    for b in bounds:
+        lvl = lvl + (m > b).astype(jnp.int32)
+    acc = jnp.zeros((16, k, TH, TW), jnp.float32)
+    for l in range(n_levels):
+        sls = []
+        for c in range(16):
+            dy = tab_ref[i, l, c, 0]
+            dx = tab_ref[i, l, c, 1]
+            sls.append(scratch[:, pl.ds(dy, TH), pl.ds(dx, TW)])
+        sl = jnp.stack(sls)                         # [16,k,TH,TW]
+        acc = jnp.where((lvl == l)[:, None], sl, acc)
     out_ref[...] = acc[None]
 
 
@@ -272,20 +272,22 @@ def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
 
     nby, nbx = hp // TH, wp // TW
     kernel = functools.partial(_fetch_sd_kernel, k, n_levels, pad, guard_k,
-                               tab, bounds, r_frac)
-    rad_spec = pl.BlockSpec((16, TH, TW), lambda i, j, l: (0, j, l),
+                               bounds)
+    rad_spec = pl.BlockSpec((16, TH, TW), lambda j, l, i: (0, j, l),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 16, k, TH, TW),
-                            lambda i, j, l: (i, 0, 0, j, l),
+                            lambda j, l, i: (i, 0, 0, j, l),
                             memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nd, nby, nbx),
-        in_specs=[rad_spec, pl.BlockSpec(memory_space=pltpu.ANY)],
+        grid=(nby, nbx, nd),
+        in_specs=[smem, smem, rad_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nd, 16, k, hp, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((k, TH + 2 * pad, TW + 2 * pad),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
-    )(radius_p, sd_pad)
+    )(jnp.asarray(tab, jnp.int32),
+      jnp.asarray(np.asarray(r_frac, np.float32)), radius_p, sd_pad)
     return out[..., :qh, :qw]

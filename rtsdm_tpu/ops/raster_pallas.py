@@ -371,7 +371,7 @@ def raster_stochastic_pallas(view_proj, positions, far, *, width: int,
                              memory_space=pltpu.SMEM)
     pix_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    coef_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -448,7 +448,7 @@ def rasterize_pallas(view_proj, positions, *, width: int, height: int,
                              memory_space=pltpu.SMEM)
     pix_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    coef_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -625,7 +625,7 @@ def fetch_attributes_pallas(tri_id, bary, interp, flats):
         kernel,
         grid=(nb,),
         in_specs=[count_spec, list_spec, pix_spec, pix_spec, pix_spec,
-                  pix_spec, pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pix_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nb, ncop, RB), jnp.float32),
         scratch_shapes=[pltpu.VMEM((RB, nrp), jnp.float32),

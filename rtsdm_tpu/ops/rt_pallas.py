@@ -595,7 +595,7 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                              memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 

@@ -42,6 +42,15 @@ BH, BW = 8, 128      # output block
 MARGIN = 16          # intra-block tap-spread allowance (pixels, each side)
 
 
+def whole_map_exact(h, w):
+    """True when warp_resample_pallas's VMEM region covers the whole [h,w]
+    map (see region sizing in warp_resample_pallas), making the kernel an
+    EXACT sampler for arbitrary sample fields. Callers sampling with
+    unbounded tap spread (env maps at the lat-long seam, page atlases) must
+    gate on this — outside the region the kernel returns the fallback."""
+    return h <= 768 and w <= 256
+
+
 def _axis_weights(p, mode):
     """Tap base index + per-tap weights along one axis.
 
@@ -171,7 +180,7 @@ def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
     out = pl.pallas_call(
         kernel,
         grid=(hb // BH, wb // BW),
-        in_specs=[blk, blk, cblk, pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[blk, blk, cblk, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=cblk,
         out_shape=jax.ShapeDtypeStruct((c, hb, wb), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, rh, rw), jnp.float32),

@@ -131,8 +131,10 @@ def sample_pages(pages, page_idx, uv, mode="bilinear", fallback=1.0):
     4 bilinear)."""
     import jax as _jax
     n = pages.shape[0]
+    from ..ops.warp_pallas import whole_map_exact
     if (mode == "bilinear" and uv.ndim == 3 and uv.shape[0] >= 8
-            and uv.shape[1] >= 128 and n * (PAGE + 2) <= 768
+            and uv.shape[1] >= 128 and whole_map_exact(n * (PAGE + 2),
+                                                       PAGE + 2)
             and _jax.devices()[0].platform not in ("cpu",)):
         # TPU: stack the wrap-padded pages into one tall atlas and sample
         # through the warp kernel's whole-map region (exact, gather-free;
@@ -193,8 +195,14 @@ def sample_env(env_map, dirs):
     phi = jnp.arctan2(d[..., 2], d[..., 0])
     v = theta / jnp.pi * he - 0.5
     u = (phi + jnp.pi) / (2.0 * jnp.pi) * we - 0.5
+    from ..ops.warp_pallas import whole_map_exact
     if (dirs.ndim == 3 and dirs.shape[0] >= 8 and dirs.shape[1] >= 128
+            and whole_map_exact(he, we)
             and _jax.devices()[0].platform not in ("cpu",)):
+        # exact only when the kernel's DMA region covers the WHOLE map; for
+        # wider maps a seam-straddling block's tap spread exceeds the
+        # motion-bounded region and would land on the zero fallback (black
+        # seam band) — those take the XLA gather path instead
         from ..ops.warp_pallas import warp_resample_pallas
         tex = jnp.moveaxis(env_map, -1, 0)
         out = warp_resample_pallas(tex, u + 0.5, v + 0.5,

@@ -388,3 +388,32 @@ def test_warp_kernel_page_atlas():
             _mock.patch.object(_jax, "devices", lambda *a, **k: fake_dev):
         got = np.asarray(TX.sample_pages(pages, pidx, uv))
     assert np.abs(got - ref).max() < 1e-4
+
+
+def test_warp_whole_map_criterion_is_honest():
+    """whole_map_exact(h, w) must exactly bound the sizes where the warp
+    kernel is fallback-free for ARBITRARY sample fields: at the largest
+    allowed size an adversarial corner-to-corner field stays exact; one
+    step wider and the same field lands on the fallback (the black-seam
+    failure sample_env's routing guard exists to prevent)."""
+    import rtsdm_tpu.ops.warp_pallas as WP
+
+    rng = np.random.default_rng(11)
+
+    def run(h, w):
+        tex = jnp.asarray(rng.random((1, h, w)).astype(np.float32))
+        # corner-to-corner spread inside every block: worst case for the
+        # motion-bounded region, trivial for a whole-map region
+        sx = jnp.asarray(rng.random((16, 256)).astype(np.float32)) * (w - 1)
+        sy = jnp.asarray(rng.random((16, 256)).astype(np.float32)) * (h - 1)
+        fb = jnp.full((1, 16, 256), -9.0, jnp.float32)
+        with interpret_mode(WP):
+            out = WP.warp_resample_pallas(tex, sx + 0.5, sy + 0.5, fb,
+                                          mode="bilinear")
+        return np.asarray(out)
+
+    assert WP.whole_map_exact(768, 256)
+    assert not (run(768, 256) == -9.0).any()
+
+    assert not WP.whole_map_exact(64, 512)
+    assert (run(64, 512) == -9.0).any()
