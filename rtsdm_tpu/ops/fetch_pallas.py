@@ -163,7 +163,9 @@ def fetch_all_directions(padded_sets, pad, radius_px_q, levels, offs, radii):
 # SD-map variant (phase 2): k depth slots per texel, divisor-4 geometry.
 # fetch_sd_direction streams acc [16,k,qh,qw] through HBM once per level
 # group per direction (~10 GB/frame at 1080p, the bulk of phase 2); here one
-# halo DMA per (direction, tile) serves all levels from VMEM.
+# halo DMA per TILE serves all directions x levels from VMEM (direction is
+# the fastest grid axis; scratch persists across grid steps, and the
+# per-direction slice origins ride in SMEM indexed by program_id).
 
 
 def _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw):

@@ -242,8 +242,7 @@ def _raster_sd_kernel(n_chunks, k, alpha,
         return pltpu.make_async_copy(coef_hbm.at[ci], scratch.at[slot],
                                      sems.at[slot])
 
-    from ..utils.sampling import stratified_coverage_tables
-    idx_np, lut_np = stratified_coverage_tables(k)
+    from ..utils.sampling import coverage_mask_select
 
     def chunk_math(carry, tri):
         e0 = tri[0:1] * px + tri[1:2] * py + tri[2:3]
@@ -273,19 +272,9 @@ def _raster_sd_kernel(n_chunks, k, alpha,
         hb = (hb ^ (hb >> 13)) * jnp.int32(0x9E3779B1 - (1 << 32))
         hb = hb ^ (hb >> 16)
         rng = (jnp.abs(hb) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
-        r_cnt = jnp.clip(jnp.floor(alpha * k + rng).astype(jnp.int32), 0, k)
         h2 = (hb ^ (oid.astype(jnp.int32) * 2654435761)) ^ (hb >> 5)
         rng2 = (jnp.abs(h2) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
-        sel = jnp.zeros_like(r_cnt)
-        for rr in range(1, k):
-            lo, hi = int(idx_np[rr]), int(idx_np[rr + 1])
-            sel = jnp.where(r_cnt == rr,
-                            lo + (rng2 * (hi - lo)).astype(jnp.int32), sel)
-        mask = jnp.zeros_like(sel)
-        for i, m in enumerate(int(x) for x in lut_np):
-            mask = jnp.where(sel == i, jnp.int32(m), mask)
-        mask = jnp.where(r_cnt >= k, jnp.int32((1 << k) - 1), mask)
-        mask = jnp.where(r_cnt == 0, jnp.int32(0), mask)
+        mask = coverage_mask_select(alpha, rng, rng2, k)
 
         vd = jnp.where(inside, view_depth, jnp.float32(3e38))
         out = []

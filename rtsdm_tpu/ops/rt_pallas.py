@@ -76,26 +76,14 @@ def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry):
     d16 = jnp.clip((d_norm * 65535.0).astype(jnp.int32), 0, 65535)
 
     if mode == "coverage":
-        from ..utils.sampling import stratified_coverage_tables
-        idx_np, lut_np = stratified_coverage_tables(k)
+        from ..utils.sampling import coverage_mask_select
         rng = k15.astype(jnp.float32) * (1.0 / 32767.0)
-        r_cnt = jnp.clip(jnp.floor(alpha * k + rng).astype(jnp.int32), 0, k)
         # second hash (rng2 = hash3D(bary, t), Common.slangh:128): remix the
         # first hash with the quantized depth
         h2 = (hb ^ (d16 * jnp.int32(0x9E3779B1 - (1 << 32)))) ^ (hb >> 5)
         h2 = h2 ^ (h2 >> 11)
         rng2 = (jnp.abs(h2) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
-        # sel = indices[R] + floor(rng2 * group_size)  (static per-R consts)
-        sel = jnp.zeros_like(r_cnt)
-        for rr in range(1, k):
-            lo, hi = int(idx_np[rr]), int(idx_np[rr + 1])
-            sel = jnp.where(r_cnt == rr,
-                            lo + (rng2 * (hi - lo)).astype(jnp.int32), sel)
-        mask = jnp.zeros_like(sel)
-        for i, m in enumerate(int(x) for x in lut_np):
-            mask = jnp.where(sel == i, jnp.int32(m), mask)
-        mask = jnp.where(r_cnt >= k, jnp.int32((1 << k) - 1), mask)
-        mask = jnp.where(r_cnt == 0, jnp.int32(0), mask)
+        mask = coverage_mask_select(alpha, rng, rng2, k)
         pk_d = jnp.where(ok, d16, jnp.int32(INVALID))
         out = []
         for s in range(k):
