@@ -94,9 +94,13 @@ def build_cluster_sampler(scene, max_clusters: int = 64):
     lum = emis[ids] @ _LUM
     power = np.maximum(lum * area, 1e-12)
 
-    c = int(min(max_clusters, e))
-    s = (e + c - 1) // c                                      # slots/cluster
+    s = (e + min(max_clusters, e) - 1) // min(max_clusters, e)  # slots/cluster
+    # re-derive the cluster count from the slot count so NO cluster is all
+    # padding (e=65 with c=64,s=2 would leave 31 dead zero-power clusters,
+    # reachable through float rounding at the importance-CDF tail)
+    c = (e + s - 1) // s
     pad = c * s - e
+    assert pad < s
 
     def padc(a, fill=0.0):
         return np.concatenate(
@@ -237,7 +241,10 @@ def sample_clustered(lc, scene, p, u1, u2, u3, u4):
     le = scene.mat_emissive[scene.material_id[tid]]
     pdf_w = (dist * dist) * pdf_cluster * pdf_in \
         / jnp.maximum(cos_l, 1e-8)
-    valid = (cos_l > 1e-4) & (dist > 1e-4)
+    # pdf_in == 0 marks a padding slot (CDF-tail rounding can select one);
+    # without this guard the caller's 1/max(pdf, eps) turns the padded
+    # slot's aliased triangle into a ~1e8-amplified firefly
+    valid = (cos_l > 1e-4) & (dist > 1e-4) & (pdf_in > 0.0)
     return wi, dist, le, pdf_w, valid, tid
 
 

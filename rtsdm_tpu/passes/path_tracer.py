@@ -271,13 +271,24 @@ class PathTracer(RenderPass):
         return r
 
     # --- emissive light sampling --------------------------------------------
+    def _active_clusters(self):
+        """The clustered sampler iff cfg SAYS so — dispatching on
+        `_clusters is not None` alone goes stale when emissiveSampler is
+        edited after set_scene (apply_ui/retrace path); the tables are
+        (re)built lazily from the concrete scene at trace time."""
+        if self.cfg["emissiveSampler"] != "LightBVH":
+            return None
+        if self._clusters is None and self.scene is not None:
+            self._clusters = lights.build_cluster_sampler(self.scene)
+        return self._clusters
+
     def _sample_emissive(self, scene, p, u1, u2, u3, u4):
         """One emissive light sample per point: returns (dir, dist, Le,
         pdf_solid_angle, valid, tid).  Dispatches to the clustered LightBVH
         analogue when selected, else the flat power CDF."""
-        if self._clusters is not None:
-            return lights.sample_clustered(self._clusters, scene, p,
-                                           u1, u2, u3, u4)
+        cl = self._active_clusters()
+        if cl is not None:
+            return lights.sample_clustered(cl, scene, p, u1, u2, u3, u4)
         em = self._emissive
         idx = jnp.searchsorted(em["cdf"], u1)
         idx = jnp.clip(idx, 0, em["ids"].shape[0] - 1)
@@ -305,8 +316,9 @@ class PathTracer(RenderPass):
 
     def _emissive_pdf_w(self, scene, p, wi, t, tid):
         """pdf of having NEE-sampled the emissive hit (for MIS on BSDF hits)."""
-        if self._clusters is not None:
-            return lights.pdf_clustered_w(self._clusters, scene, p, wi, t, tid)
+        cl = self._active_clusters()
+        if cl is not None:
+            return lights.pdf_clustered_w(cl, scene, p, wi, t, tid)
         em = self._emissive
         tri = scene.positions[jnp.maximum(tid, 0)]
         e1 = tri[..., 1, :] - tri[..., 0, :]
@@ -343,9 +355,15 @@ class PathTracer(RenderPass):
                 inputs.get("vbuffer"))
         color = (total / spp).reshape(h, w, 3)
         out = {"color": color}
-        out.update(self._nrd_channels(scene, cam, prim_o, prim_d, face_n,
-                                      chunk, inputs.get("vbuffer"),
-                                      color, h, w))
+        # the NRD channel set re-traces primary visibility when no vbuffer
+        # is wired — skip the whole block unless some nrd* output is
+        # actually consumed (ctx.consumed_outputs None = standalone call,
+        # produce everything)
+        cons = ctx.consumed_outputs
+        if cons is None or any(c.startswith("nrd") for c in cons):
+            out.update(self._nrd_channels(scene, cam, prim_o, prim_d, face_n,
+                                          chunk, inputs.get("vbuffer"),
+                                          color, h, w))
         return out, None
 
     def _nrd_channels(self, scene, cam, o, d, face_n, chunk, vbuffer,

@@ -174,8 +174,13 @@ class RenderGraph:
         produced: dict[str, dict] = {}
         new_state = dict(state)
         in_edges = defaultdict(list)
+        out_consumed = defaultdict(set)
         for sp, sc, dp, dc in self.edges:
             in_edges[dp].append((dc, sp, sc))
+            out_consumed[sp].add(sc)
+        for o in self.outputs:
+            op, oc = o.split(".", 1)
+            out_consumed[op].add(oc)
 
         for name in self._execution_order():
             p = self.passes[name]
@@ -198,8 +203,10 @@ class RenderGraph:
                         f"pass '{name}' ({p.pass_type}) missing required input "
                         f"'{ch.name}' — wired inputs: {sorted(inputs)}")
             prof = ctx.profiler.event(name) if ctx.profiler else contextlib.nullcontext()
+            ctx.consumed_outputs = frozenset(out_consumed[name])
             with prof:
                 outputs, ns = p.execute(ctx, inputs, state.get(name))
+            ctx.consumed_outputs = None
             produced[name] = outputs or {}
             if ns is not None:
                 new_state[name] = ns

@@ -98,6 +98,13 @@ class RenderContext:
     # call is a trace-time no-op).
     pixel_debug: Any = None        # (x, y) host ints or None
     debug_log: list = dataclasses.field(default_factory=list)
+    # set by RenderGraph.execute before each pass runs: the output channels
+    # of the CURRENT pass that are actually consumed (out-edges + marked
+    # outputs). None = unknown (standalone pass execution) — produce
+    # everything. Passes with expensive optional outputs (PathTracer's NRD
+    # channel set re-traces primary visibility) gate on this to skip dead
+    # work in eager mode and dead trace/compile work under jit.
+    consumed_outputs: Any = None   # frozenset[str] | None
 
     @property
     def guard_band(self) -> int:

@@ -183,3 +183,62 @@ def test_path_tracer_lightbvh_mode(lamp_scene):
     # estimate the same integral, so means must agree well inside noise)
     m_p, m_l = outs["Power"].mean(), outs["LightBVH"].mean()
     assert abs(m_p - m_l) / (abs(m_p) + 1e-6) < 0.15
+
+
+def _many_lamp_scene(n_quads=33):
+    """n_quads emissive quads (2*n_quads emitters) + floor: enough emitters
+    that slot padding is exercised (e > max_clusters)."""
+    tris, mids = [], []
+    for i in range(n_quads):
+        tris += _quad(-8.0 + 0.5 * i, 0.0, 2.0 + (i % 3), 0.3)
+        mids += [1, 1]
+    tris += _quad(0.0, 0.0, -1.0, 20.0)
+    mids += [0, 0]
+    mats = [dict(base_color=(0.5, 0.5, 0.5)),
+            dict(base_color=(0, 0, 0), emissive=(4.0, 4.0, 4.0))]
+    return make_scene("manylamps", np.asarray(tris, np.float32),
+                      material_id=np.asarray(mids, np.int32),
+                      materials=mats)
+
+
+def test_cluster_no_dead_clusters():
+    """With e > max_clusters the cluster count must come from the slot
+    count: c=min(64,e) with row-major slot packing leaves trailing ALL-
+    padding clusters (zero power), reachable through CDF-tail rounding."""
+    sc = _many_lamp_scene(33)          # 66 emitters
+    lc = lights.build_cluster_sampler(sc, max_clusters=64)
+    assert float(jnp.min(lc["power"])) > 0.0   # every cluster has a real slot
+    assert lc["n_clusters"] * lc["slot_count"] >= 66
+
+
+def test_cluster_adversarial_cdf_tail_never_yields_zero_pdf():
+    """u at the float32 top of [0,1): a padding slot (pdf_in 0) must never
+    come back marked valid — that is the 1e8-amplified-firefly path."""
+    sc = _many_lamp_scene(33)
+    lc = lights.build_cluster_sampler(sc, max_clusters=64)
+    n = 64
+    p = jnp.asarray(np.random.default_rng(3).uniform(-8, 8, (n, 3))
+                    .astype(np.float32))
+    top = np.float32(1.0 - 2.0 ** -24)
+    for u1v, u2v in [(top, top), (top, 0.0), (0.0, top), (0.5, top)]:
+        u1 = jnp.full((n,), u1v, jnp.float32)
+        u2 = jnp.full((n,), u2v, jnp.float32)
+        wi, dist, le, pdf_w, valid, tid = lights.sample_clustered(
+            lc, sc, p, u1, u2, jnp.full((n,), 0.3), jnp.full((n,), 0.4))
+        v = np.asarray(valid)
+        assert np.all(~v | (np.asarray(pdf_w) > 0.0))
+
+
+def test_path_tracer_sampler_dispatch_follows_cfg(lamp_scene):
+    """emissiveSampler edits after set_scene must take effect (the
+    apply_ui/retrace path): dispatch is on cfg, tables rebuilt lazily."""
+    from rtsdm_tpu.passes.path_tracer import PathTracer
+
+    pt = PathTracer({"emissiveSampler": "Power"})
+    pt.set_scene(lamp_scene)
+    assert pt._active_clusters() is None
+    pt.cfg["emissiveSampler"] = "LightBVH"
+    cl = pt._active_clusters()
+    assert cl is not None and cl["kind"] == "cluster"
+    pt.cfg["emissiveSampler"] = "Power"
+    assert pt._active_clusters() is None
