@@ -1,0 +1,170 @@
+"""Fast on-device Pallas kernel smoke: compiles and parity-checks every
+gather-elimination kernel on the CURRENT platform at small shapes.
+
+Purpose: the interpret-mode tests (tests/test_pallas_interpret.py) prove the
+kernel MATH; this proves the MOSAIC COMPILE on real hardware — dynamic-start
+slices, SMEM scalar tables, pl.when-gated DMAs and revisiting semantics only
+exercise on TPU. Run this FIRST after any kernel change before spending an
+acceptance hour on the big benches (~2 min on a v5e).
+
+Usage: python tools/kernel_smoke.py          # current platform (TPU default)
+Exit code 0 = all kernels compile and match their XLA tier bit-exactly.
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 - report and keep probing
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        return False
+    print(f"ok   {name} ({time.perf_counter() - t0:.1f}s)")
+    return True
+
+
+class _Cfg:
+    num_directions = 8
+
+    def radii(self):
+        return [((i % 4) + 1) / 4.0 for i in range(8)]
+
+
+def smoke_fetch_fused():
+    import rtsdm_tpu.ops.ao as A
+    import rtsdm_tpu.ops.ao_shift as S
+    import rtsdm_tpu.ops.fetch_pallas as FP
+
+    rng = np.random.default_rng(3)
+    h, w = 256, 512
+    depth = jnp.asarray(rng.uniform(1.0, 20.0, (h, w)).astype(np.float32))
+    radius_px = jnp.asarray(rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
+    levels, offs, radii = S.offset_tables(_Cfg(), 64.0)
+    pad = int(-(-float(levels[-1]) // 4)) + 1
+    qh, qw = h // 4, w // 4
+    dpp = S.pad_planes(S.deinterleave(depth), pad)
+    rq = S.deinterleave(radius_px)
+    (got,) = FP.fetch_all_directions([dpp], pad, rq, levels, offs, radii)
+    for i in (0, 5):
+        lvl_p = S.deinterleave(A.shift_level_index(levels,
+                                                   radius_px * radii[i]))
+        ref = S.fetch_direction(dpp, pad, lvl_p, offs[i], qh, qw)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+
+
+def smoke_fetch_sd():
+    import rtsdm_tpu.ops.ao as A
+    import rtsdm_tpu.ops.ao_shift as S
+    import rtsdm_tpu.ops.fetch_pallas as FP
+
+    rng = np.random.default_rng(11)
+    h, w = 256, 512
+    qh, qw = h // 4, w // 4
+    guard, k = 24, 4
+    sd_map = jnp.asarray(rng.uniform(0.0, 50.0, (qh + 2 * guard,
+                                                 qw + 2 * guard, k))
+                         .astype(np.float32))
+    radius_px = jnp.asarray(rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
+    levels, offs, radii = S.offset_tables(_Cfg(), 64.0)
+    pad = int(-(-float(levels[-1]) // 4)) + 1
+    rq = S.deinterleave(radius_px)
+    got = FP.fetch_sd_all_directions(sd_map, guard, rq, levels, offs,
+                                     radii, pad)
+    assert got is not None, "SD table fallback fired at smoke shapes"
+    for i in (0, 7):
+        lvl_p = S.deinterleave(A.shift_level_index(levels,
+                                                   radius_px * radii[i]))
+        ref = S.fetch_sd_direction(sd_map, lvl_p, offs[i], guard, qh, qw, 4)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+
+
+def smoke_warp():
+    from rtsdm_tpu.ops.warp_pallas import warp_resample_pallas
+    from rtsdm_tpu.passes.temporal import _catmull_rom, _grid_uv
+
+    rng = np.random.default_rng(5)
+    h, w = 160, 288
+    tex = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    mv = (np.stack([np.sin(np.linspace(0, 3, w))[None, :].repeat(h, 0),
+                    np.cos(np.linspace(0, 2, h))[:, None].repeat(w, 1)], -1)
+          * 6.0).astype(np.float32)
+    uv = np.asarray(_grid_uv(h, w))
+    sp = jnp.asarray((uv + mv / [w, h]) * np.asarray([w, h], np.float32))
+    texp = jnp.moveaxis(tex, -1, 0)
+    fb = jnp.full_like(texp, -9.0)
+    got = warp_resample_pallas(texp, sp[..., 0], sp[..., 1], fb,
+                               mode="catmull_rom")
+    ref = _catmull_rom(tex, sp)
+    err = np.abs(np.asarray(jnp.moveaxis(got, 0, -1)) - np.asarray(ref)).max()
+    assert err < 1e-4, err
+
+
+def smoke_raster():
+    from rtsdm_tpu.ops.raster import rasterize
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    out = rasterize(scene.camera.view_proj_mat, scene.positions,
+                    width=256, height=256, cull="back")
+    depth = np.asarray(out["depth"])
+    cov = float((depth < 1.0).mean())
+    assert cov > 0.99, f"coverage {cov}"
+
+
+def smoke_rt():
+    from rtsdm_tpu.ops import rt
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    cam = scene.camera
+    n = 4096
+    rng = np.random.default_rng(7)
+    px = jnp.asarray(rng.uniform(0, 256, (n, 2)).astype(np.float32))
+    o, d = cam.compute_ray_pinhole(px, (256, 256))
+    o = jnp.broadcast_to(o, (n, 3))
+    t, tid = rt.closest_hit(scene, o, d, jnp.full((n,), 1e-3),
+                            jnp.full((n,), 1e4), chunk=256)
+    hitrate = float((np.asarray(tid) >= 0).mean())
+    assert hitrate > 0.99, f"hit rate {hitrate} (closed box)"
+
+
+def main():
+    if "--interpret" in sys.argv:
+        # CPU validation of the smoke itself: run the kernels in Pallas
+        # interpret mode (same patch the interpret-mode test tier uses)
+        import unittest.mock as mock
+
+        from jax.experimental import pallas as pl
+
+        import rtsdm_tpu.ops.fetch_pallas as FP
+        import rtsdm_tpu.ops.warp_pallas as WP
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        for mod in (FP, WP):
+            mock.patch.object(mod.pl, "pallas_call", patched).start()
+    print(f"platform: {jax.devices()[0].platform}")
+    oks = [
+        _check("fetch_all_directions (phase1 fused fetch)", smoke_fetch_fused),
+        _check("fetch_sd_all_directions (phase2 SD fetch)", smoke_fetch_sd),
+        _check("warp_resample_pallas (TAA/history warp)", smoke_warp),
+        _check("rasterize (sort-middle visibility)", smoke_raster),
+        _check("rt.closest_hit (ray trace)", smoke_rt),
+    ]
+    print("ALL OK" if all(oks) else "FAILURES")
+    return 0 if all(oks) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
