@@ -6,8 +6,8 @@ BASELINE.json) on the Sun Temple stand-in scene, steady state.
 
 Measurement hygiene (CLAUDE.md: the axon runtime memoizes identical
 executions, so repeated identical inputs measure cache hits):
-  * every iteration feeds a DIFFERENT input (pre-built depth variants cycled
-    round-robin; values differ, shapes/graph identical),
+  * every call — warmup included — feeds a NEVER-REPEATED input (depth
+    perturbed by a global call index; values differ, shapes/graph identical),
   * every iteration forces a host readback (float(out.sum())),
   * a trivial-kernel floor (same readback scheme on a same-size array) is
     measured and subtracted,
@@ -29,29 +29,36 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rtsdm_jax_cache")
 import jax
 import jax.numpy as jnp
 
-N_VARIANTS = 8
-N_ITERS = 16
+N_ITERS = 8
 N_RUNS = 3
 
 
-def _time_fn(fn, variants, iters=N_ITERS):
-    """Steady-state ms/call: cycle pre-built input variants, force a host
-    readback per call. Returns the median over N_RUNS runs plus all runs."""
-    # warmup (compile + first-touch) on every variant
-    for v in variants:
-        out = fn(*v)
+def _time_fn(fn, make_variant, iters=N_ITERS):
+    """Steady-state ms/call with a host readback per call.
+
+    make_variant(j) -> input tuple for global index j. EVERY call — warmup
+    included — gets a distinct input: the axon runtime memoizes identical
+    executions (CLAUDE.md), so re-timing an input that has executed before
+    (even once, in warmup or a previous run) can measure a cache hit.
+    Returns the median over N_RUNS runs plus all runs."""
+    for j in (-1, -2):  # warmup (compile + first-touch), never re-timed
+        out = fn(*make_variant(j))
         jax.tree_util.tree_map(
             lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
             out)
     runs = []
+    g = 0
     for _ in range(N_RUNS):
+        vs = [make_variant(g + i) for i in range(iters)]  # fresh per run
+        jax.block_until_ready(vs)
         acc = 0.0
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = fn(*variants[i % len(variants)])
+        for v in vs:
+            out = fn(*v)
             first = jax.tree_util.tree_leaves(out)[0]
-            acc += float(first.sum())  # host readback: defeats memoization
+            acc += float(first.sum())  # host readback per call
         runs.append((time.perf_counter() - t0) / iters * 1e3)
+        g += iters
     runs.sort()
     return runs[len(runs) // 2], runs
 
@@ -93,20 +100,16 @@ def main():
     fn = jax.jit(ao_step)
 
     # input variants: tiny multiplicative depth perturbations — same graph,
-    # different values every iteration (breaks the axon memoization cache)
-    variants = []
-    for i in range(N_VARIANTS):
-        s = 1.0 + 1e-5 * i
-        variants.append((scene, g["depth"] * s, lin * s, packed))
-    jax.block_until_ready(variants)
+    # a NEVER-REPEATED value for every call (j spans warmup + all runs)
+    def make_variant(j):
+        s = 1.0 + 1e-6 * j
+        return (scene, g["depth"] * s, lin * s, packed)
 
     # trivial-kernel floor: dispatch + readback overhead on a same-size array
     floor_fn = jax.jit(lambda a: a * 1.0000001 + 1.0)
-    floor_vars = [(lin * (1.0 + 1e-5 * i),) for i in range(N_VARIANTS)]
-    jax.block_until_ready(floor_vars)
-    floor_ms, _ = _time_fn(floor_fn, floor_vars)
+    floor_ms, _ = _time_fn(floor_fn, lambda j: (lin * (1.0 + 1e-6 * j),))
 
-    total_ms_raw, runs = _time_fn(fn, variants)
+    total_ms_raw, runs = _time_fn(fn, make_variant)
     total_percall_ms = max(total_ms_raw - floor_ms, 0.0)
 
     # steady-state frame time: K frames inside ONE jit (lax.scan), inputs
