@@ -349,3 +349,45 @@ def test_renderer_animation_does_not_compound():
     np.testing.assert_allclose(np.asarray(m._scene_comp.positions),
                                np.asarray(pristine), atol=1e-6,
                                err_msg="renderFrame mutated the base scene")
+
+
+def test_consumed_outputs_gates_optional_channels():
+    """RenderGraph.execute tells each pass which outputs are consumed
+    (out-edges + marked); PathTracer skips its NRD channel block (a second
+    primary-visibility trace without a vbuffer) unless an nrd* channel is
+    wired or marked. Standalone execute (ctx.consumed_outputs None)
+    produces everything."""
+    import jax.numpy as jnp
+
+    from rtsdm_tpu.passes.path_tracer import PathTracer
+    from rtsdm_tpu.rendergraph.graph import RenderGraph
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+
+    def build(mark_nrd):
+        g = RenderGraph("t")
+        g.create_pass("PT", "PathTracer", {"samplesPerPixel": 1,
+                                           "maxSurfaceBounces": 1,
+                                           "chunk": 64})
+        g.mark_output("PT.color")
+        if mark_nrd:
+            g.mark_output("PT.nrdEmission")
+        g.set_scene(scene)
+        return g
+
+    ctx = RenderContext(width=16, height=16, scene=scene)
+    _, produced, _ = build(False).execute(ctx, {})
+    assert "color" in produced["PT"] and "nrdEmission" not in produced["PT"]
+    assert ctx.consumed_outputs is None  # reset after the graph run
+
+    _, produced, _ = build(True).execute(ctx, {})
+    assert "nrdEmission" in produced["PT"]
+
+    # standalone pass execution: no consumption info -> produce everything
+    pt = PathTracer({"samplesPerPixel": 1, "maxSurfaceBounces": 1,
+                     "chunk": 64})
+    pt.set_scene(scene)
+    out, _ = pt.execute(ctx, {})
+    assert "nrdEmission" in out
