@@ -63,7 +63,28 @@ def _time_fn(fn, make_variant, iters=N_ITERS):
     return runs[len(runs) // 2], runs
 
 
+def _probe_device(timeout_s=240):
+    """Fail fast (with a diagnostic JSON line) when the axon tunnel is
+    WEDGED — a wedged tunnel hangs every device op including jax.devices()
+    (CLAUDE.md), which would otherwise hang the whole bench run silently."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "svao_ray_sd_ao_ms_per_frame_1080p",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"device probe failed ({type(e).__name__}): "
+                     "axon tunnel wedged or unavailable"}))
+        return False
+
+
 def main():
+    if not _probe_device():
+        return 1
     from rtsdm_tpu.passes.gbuffer import raster_gbuffer
     from rtsdm_tpu.passes.svao import SVAO, _normals_to_view
     from rtsdm_tpu.rendergraph.render_pass import RenderContext
