@@ -18,7 +18,7 @@ The Raytraced reference mode runs through the brute-force XLA interval query,
 so configs use the small scene tier at REAL resolutions (the SD kernels are
 validated at reference scale separately, tools/pallas_parity.py).
 
-Usage: python tools/quality_ssim.py  (writes QUALITY_r03.json)
+Usage: python tools/quality_ssim.py  (writes QUALITY_r04.json)
 """
 import json
 import os
@@ -217,7 +217,7 @@ def main():
         and report["configs"]["config5_shaded_taa_stability"]
             ["mean_frame_ssim"] >= 0.9)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QUALITY_r03.json")
+        os.path.abspath(__file__))), "QUALITY_r04.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "configs"}))
