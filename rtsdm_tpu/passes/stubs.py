@@ -44,47 +44,8 @@ DLSSPass = _stub("DLSSPass", ["color", "mvec", "depth"], "output",
 NRDPass = _stub("NRDPass", ["radiance", "mvec", "normal"], "filteredRadiance")
 
 
-# Upstream scripts instantiate the denoiser under the short name "NRD" with
-# per-instance method configs (reference scripts/PathTracerNRD.py:17-27).
-# Vendor runtime -> identity denoise: every wired input channel X echoes to
-# filteredX (the NRD output naming convention), so the verbatim graph wiring
-# resolves end-to-end.
-@register_pass("NRD")
-class NRD(RenderPass):
-    SCHEMA = dict(enabled=True, method="RelaxDiffuseSpecular",
-                  maxIntensity=1000.0, worldSpaceMotion=True,
-                  disocclusionThreshold=2.0,
-                  enableReprojectionTestSkippingWithoutMotion=False,
-                  spatialVarianceEstimationHistoryThreshold=3)
-
-    def reflect(self, ctx):
-        r = PassReflection()
-        for c in ["diffuseRadianceHitDist", "specularRadianceHitDist",
-                  "deltaReflectionRadianceHitDist",
-                  "deltaTransmissionRadianceHitDist", "radianceHitdist",
-                  "mvec", "normWRoughnessMaterialID", "linearZ", "viewZ",
-                  "deltaReflectionHitDist", "deltaTransmissionHitDist",
-                  "deltaTransmissionPosW", "posW", "motionVectors"]:
-            r.add_input(c, optional=True)
-        for c in ["filteredDiffuseRadianceHitDist",
-                  "filteredSpecularRadianceHitDist",
-                  "filteredDeltaReflectionRadianceHitDist",
-                  "filteredDeltaTransmissionRadianceHitDist",
-                  "filteredRadianceHitDist", "reflectionMvec",
-                  "deltaMvec"]:
-            r.add_output(c, optional=True)
-        return r
-
-    def execute(self, ctx, inputs, state=None):
-        out = {}
-        for k, v in inputs.items():
-            out["filtered" + k[0].upper() + k[1:]] = v
-        # motion-vector methods echo the input mvec under the output names
-        mv = inputs.get("mvec", inputs.get("motionVectors"))
-        if mv is not None:
-            out.setdefault("reflectionMvec", mv)
-            out.setdefault("deltaMvec", mv)
-        return out, None
+# NRD ("NRD" short name, NRDPass alias above) is no longer a stub: the
+# denoiser slot runs a real SVGF-grade spatiotemporal filter — see nrd.py.
 OptixDenoiser = _stub("OptixDenoiser", ["color", "albedo", "normal", "mvec"],
                       "output")
 DirectML = _stub("DirectML", ["input"], "output")
