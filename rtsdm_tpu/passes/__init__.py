@@ -26,6 +26,7 @@ from . import postfx           # noqa: F401
 from . import whitted          # noqa: F401
 from . import svgf             # noqa: F401
 from . import nrd              # noqa: F401
+from . import rtxdi            # noqa: F401
 from . import bsdf_viewer      # noqa: F401
 from . import sdf_editor       # noqa: F401
 from . import comparison       # noqa: F401

@@ -26,7 +26,15 @@ _PI = 3.14159265
 class BSDFViewer(RenderPass):
     SCHEMA = dict(materialID=0, viewerMode="Slice",  # "Slice" | "Sphere"
                   lightIntensity=1.0, lightDir=(0.0, -0.7, -0.7),
-                  roughnessOverride=-1.0)
+                  roughnessOverride=-1.0,
+                  # material family: the reference viewer dispatches on the
+                  # scene material's IMaterial type (HairChiang16.slang,
+                  # ClothBRDF.slang); here the family is a viewer option
+                  # evaluated through ops/bsdf_extra.py
+                  bsdf="Standard",  # "Standard" | "Cloth" | "HairChiang16"
+                  clothF0=(0.04, 0.04, 0.04),
+                  hairSigmaA=(0.42, 0.7, 1.37), hairBetaM=0.3, hairBetaN=0.3,
+                  hairH=0.3, hairAlpha=0.035)
 
     def reflect(self, ctx):
         return PassReflection().add_output("output")
@@ -56,6 +64,36 @@ class BSDFViewer(RenderPass):
             out = self._slice(u, v, albedo, rough)
         return {"output": out}, None
 
+    def _eval(self, albedo, rough, n, wo, wi):
+        """Dispatch on the configured material family; all three return
+        f*cos in world space."""
+        fam = str(self.cfg["bsdf"])
+        if fam == "Cloth":
+            from ..ops.bsdf_extra import eval_cloth
+            f0 = jnp.broadcast_to(
+                jnp.asarray(self.cfg["clothF0"], jnp.float32), albedo.shape)
+            return eval_cloth(albedo, f0, rough, n, wo, wi)
+        if fam == "HairChiang16":
+            from ..ops.bsdf_extra import eval_hair
+            # fiber tangent: a stable world axis projected onto the surface
+            up = jnp.asarray([0.0, 1.0, 0.0])
+            t = normalize(jnp.cross(jnp.broadcast_to(up, n.shape), n)
+                          + 1e-6)
+            b = jnp.cross(n, t)
+
+            def local(wv):
+                return jnp.stack([jnp.sum(wv * t, -1), jnp.sum(wv * b, -1),
+                                  jnp.sum(wv * n, -1)], -1)
+            sigma_a = jnp.broadcast_to(
+                jnp.asarray(self.cfg["hairSigmaA"], jnp.float32),
+                albedo.shape)
+            return eval_hair(sigma_a, float(self.cfg["hairBetaM"]),
+                             float(self.cfg["hairBetaN"]), local(wo),
+                             local(wi), h=float(self.cfg["hairH"]),
+                             alpha=float(self.cfg["hairAlpha"]))
+        f_cos, _ = _eval_bsdf(albedo, rough, n, wo, wi)
+        return f_cos
+
     # -- Burley slice (calculateSliceGeometry) ------------------------------
     def _slice(self, u, v, albedo, rough):
         theta_h = u * (_PI / 2.0)
@@ -72,7 +110,7 @@ class BSDFViewer(RenderPass):
         wi = normalize(hvec * cd + b * sd)
         wo = normalize(hvec * cd - b * sd)
         nb = jnp.broadcast_to(n, hvec.shape)
-        f_cos, _ = _eval_bsdf(albedo, rough, nb, wo, wi)
+        f_cos = self._eval(albedo, rough, nb, wo, wi)
         n_dot_l = saturate(jnp.sum(nb * wi, -1))[..., None]
         f = f_cos / jnp.maximum(n_dot_l, 1e-6)  # show f, not f*cos
         valid = (jnp.sum(nb * wi, -1) > 0.0) & (jnp.sum(nb * wo, -1) > 0.0)
@@ -90,7 +128,7 @@ class BSDFViewer(RenderPass):
         wo = jnp.broadcast_to(wo, n.shape)
         ld = -normalize(jnp.asarray(self.cfg["lightDir"], jnp.float32))
         wi = jnp.broadcast_to(ld, n.shape)
-        f_cos, _ = _eval_bsdf(albedo, rough, n, wo, wi)
+        f_cos = self._eval(albedo, rough, n, wo, wi)
         li = jnp.float32(self.cfg["lightIntensity"])
         col = f_cos * li
         bg = jnp.full_like(col, 0.05)                  # evalBackground

@@ -134,13 +134,10 @@ class RayShadow(RenderPass):
         return {"visibility": jnp.stack(vis_slices, axis=0)}, None
 
 
-def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
-           light_intensity, env_map_mirror=False):
-    """Shared shading core of Forward/Deferred lighting — the
-    StandardMaterial-equivalent model (ForwardLighting.3d.slang:34-90:
-    emission + ambient*diffuseAlbedo + env diffuse/specular terms + per-light
-    full BSDF eval; material instance = StandardMaterial.h:68 metallic
-    workflow via ops/brdf.py)."""
+def shading_inputs(scene, g):
+    """Per-pixel shading fields shared by the lighting passes and the
+    ReSTIR reservoir path (ops/restir.py): StandardMaterial metallic
+    workflow (StandardMaterial.h:68) resolved densely from the G-buffer."""
     from ..ops import brdf
 
     hit = g["posW"][..., 3] > 0.0
@@ -150,10 +147,6 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
     from ..ops.materials import fetch_shading_materials
     mat = fetch_shading_materials(scene, mid)
     albedo = mat["base_color"]
-    emissive = mat["emissive"]
-    rough = mat["roughness"]
-    metal = mat["metallic"]
-    ior = mat["ior"]
     if scene.tex_pages is not None and g.get("texC") is not None:
         # one bilinear fetch per pixel, shading pass only (textures.py rules)
         from ..scene.textures import sample_pages
@@ -162,10 +155,27 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
     n = g["normW"][..., :3]
     p = g["posW"][..., :3]
     wo = normalize(scene.camera.pos_w - p)
+    diff_albedo, f0 = brdf.metallic_albedos(albedo, mat["metallic"],
+                                            mat["ior"])
+    return dict(hit=hit, n=n, p=p, wo=wo, diff_albedo=diff_albedo, f0=f0,
+                rough=mat["roughness"], emissive=mat["emissive"])
 
-    diff_albedo, f0 = brdf.metallic_albedos(albedo, metal, ior)
 
-    color = emissive + ambient_intensity * diff_albedo
+def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
+           light_intensity, env_map_mirror=False, include_lights=True):
+    """Shared shading core of Forward/Deferred lighting — the
+    StandardMaterial-equivalent model (ForwardLighting.3d.slang:34-90:
+    emission + ambient*diffuseAlbedo + env diffuse/specular terms + per-light
+    full BSDF eval; material instance = StandardMaterial.h:68 metallic
+    workflow via ops/brdf.py)."""
+    from ..ops import brdf
+
+    si = shading_inputs(scene, g)
+    hit = si["hit"]
+    n, p, wo = si["n"], si["p"], si["wo"]
+    diff_albedo, f0, rough = si["diff_albedo"], si["f0"], si["rough"]
+
+    color = si["emissive"] + ambient_intensity * diff_albedo
 
     # env terms (ForwardLighting.3d.slang:53-63): diffuse along the normal,
     # specular along the mirror direction capped by roughnessToIntensity
@@ -185,7 +195,7 @@ def _shade(scene, g, visibility, env_color, ambient_intensity, env_intensity,
         color = color + jnp.where((rough < 0.08)[..., None],
                                   fr * env_r, 0.0)
 
-    for li in range(int(scene.num_lights)):
+    for li in range(int(scene.num_lights) if include_lights else 0):
         is_dir = scene.light_type[li] == LIGHT_DIRECTIONAL
         to_light = jnp.where(is_dir, -scene.light_dir[li],
                              normalize(scene.light_pos[li] - p))

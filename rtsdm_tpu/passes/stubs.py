@@ -49,41 +49,5 @@ NRDPass = _stub("NRDPass", ["radiance", "mvec", "normal"], "filteredRadiance")
 OptixDenoiser = _stub("OptixDenoiser", ["color", "albedo", "normal", "mvec"],
                       "output")
 DirectML = _stub("DirectML", ["input"], "output")
-# RTXDIPass is NOT a pass-through: ReSTIR estimates per-pixel direct
-# lighting; the TPU analogue evaluates that estimand EXACTLY (all analytic
-# lights shaded + ray-traced shadows via the streaming kernel) instead of
-# reservoir-resampling a subset — no temporal reuse, same converged image
-# (reference RenderPasses/RTXDIPass/RTXDIPass.cpp:48, vendor SDK).
-@register_pass("RTXDIPass")
-class RTXDIPass(RenderPass):
-    SCHEMA = dict(enabled=True, envMapIntensity=0.25, ambientIntensity=0.05,
-                  lightIntensity=1.0, rayShadows=True)
-
-    def reflect(self, ctx):
-        return (PassReflection().add_input("vbuffer")
-                .add_input("mvec", optional=True).add_output("color"))
-
-    def execute(self, ctx, ins, state=None):
-        import jax.numpy as jnp
-
-        from .gbuffer_rt import _materialize
-        from .lighting import RayShadow, _shade
-
-        vb = ins["vbuffer"]
-        tid = vb[..., 0].astype(jnp.int32)
-        bary = vb[..., 1:3]
-        g = _materialize(ctx.scene, ctx.scene.camera, tid, bary,
-                         jnp.zeros(tid.shape), ctx.width, ctx.height)
-        vis = None
-        if self.cfg["rayShadows"] and int(ctx.scene.num_lights) > 0:
-            rs = RayShadow({})
-            rs.set_scene(ctx.scene)
-            vis = rs.execute(ctx, {"posW": g["posW"],
-                                   "normalW": g["faceNormalW"]})[0][
-                                       "visibility"]
-        env = jnp.broadcast_to(ctx.scene.env_radiance, tid.shape + (3,))
-        color = _shade(ctx.scene, g, vis, env,
-                       float(self.cfg["ambientIntensity"]),
-                       float(self.cfg["envMapIntensity"]),
-                       float(self.cfg["lightIntensity"]))
-        return {"color": color}, None
+# RTXDIPass is NOT a stub: it runs TPU-native ReSTIR reservoir resampling
+# with temporal + spatial reuse (passes/rtxdi.py, ops/restir.py).

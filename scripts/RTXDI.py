@@ -1,6 +1,6 @@
 # RTXDI graph (reference scripts/RTXDI.py wiring: VBufferRT -> RTXDIPass ->
-# AccumulatePass -> ToneMapper). RTXDIPass is a declared vendor stub
-# (passes/stubs.py) — the graph shape and channel contract are preserved.
+# AccumulatePass -> ToneMapper). RTXDIPass runs TPU-native ReSTIR reservoir
+# resampling with temporal + spatial reuse (passes/rtxdi.py).
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

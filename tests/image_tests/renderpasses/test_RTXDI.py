@@ -1,5 +1,5 @@
-# RTXDI graph (vendor-stub RTXDIPass passes radiance through; VBufferRT +
-# ToneMapper are real — locks the graph wiring + the pass-through contract).
+# RTXDI graph: ReSTIR reservoir direct lighting (passes/rtxdi.py) through
+# the reference wiring — locks the reservoir path's frame-1 image.
 IMAGE_TEST = {"tolerance": 2e-4, "frames": [1], "scene": "CornellBox",
               "width": 128, "height": 128}
 SCRIPT = "scripts/RTXDI.py"
