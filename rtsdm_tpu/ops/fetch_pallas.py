@@ -13,10 +13,25 @@ VMEM ONCE, and runs all nd directions x L levels of the select chain from
 VMEM: HBM traffic drops to one (halo-amplified) read of the planes plus one
 write of the nd fetched outputs, independent of nd x L.
 
+Mosaic shape (hardware-verified constraints, round 4):
+  * halo DMA slices must be (8, 128)-tile-aligned in BOTH origin and
+    extents -> extents round up to the tiling (junk over-fetch, sources
+    padded to match) and origins are grid-derived multiples;
+  * VMEM loads at table-driven offsets must be STATIC: direction rides as
+    the fastest grid axis and each direction's body is a `pl.when(i == d)`
+    branch whose slice table entries are Python ints (a direction-indexed
+    SMEM table compiles to dynamic vector.loads Mosaic rejects: "cannot
+    statically prove that index in dimension 1 is a multiple of 8");
+  * the select chain is PLANAR per class — stacking 16 classes per level
+    ([16,TH,TW] temporaries per level per direction) blew the Mosaic stack
+    allocator past the 16 MB scoped-VMEM limit (30.75M measured).
+
 Semantics are bit-identical to fetch_direction: the same static offset
 tables (cross-class remap: a full-res offset from class c lands in class
-c2 = ((cy+dy)%4)*4 + (cx+dx)%4 at quarter offset (cy+dy)//4), the same
-per-pixel level index (shift_level_index of radius_px * r_frac[i]).
+c2 = ((cy+dy)%4)*4 + (cx+dx)%4 at quarter offset (cy+dy)//4) and the SAME
+per-pixel level index — computed by the caller-side XLA tier
+(shift_level_index) and fed to the kernel as an int32 plane set, so the
+two tiers cannot diverge on level rounding.
 
 Reference equivalent: the texture-unit fetches of SVAORaster.ps.slang's
 sample ring — the TPU has no texture units, so the fetch becomes a
@@ -35,62 +50,100 @@ from jax.experimental.pallas import tpu as pltpu
 TH, TW = 32, 128  # output tile (quarter-res texels)
 
 
-def _class_tables(offs, pad):
-    """Static per-(dir, class, level) (source class, local dy, local dx)
-    exactly as fetch_direction builds them."""
+def _dma_extents(pad):
+    """Halo DMA slice extents rounded up to the (8, 128) VMEM tiling —
+    Mosaic rejects memref slices whose extents are not tile-aligned
+    ("Slice shape along dimension 1 must be aligned to tiling (8)").
+    The extra rows/cols are junk over-fetch; sources are padded to match."""
+    rh = -(-(TH + 2 * pad) // 8) * 8
+    rw = -(-(TW + 2 * pad) // 128) * 128
+    return rh, rw
+
+
+def _class_groups(offs, pad):
+    """Static per-(dir, class) slice-select groups: consecutive levels with
+    the same (source class, local dy, local dx) collapse into one
+    (lo_level, hi_level, c2, y, x) select — exactly the table
+    fetch_direction builds, deduplicated."""
     nd = len(offs)
-    n_levels = len(offs[0][0])
-    tab = np.zeros((nd, n_levels, 16, 3), np.int32)
+    groups = []
     for i in range(nd):
+        per_c = []
         for c in range(16):
             cy, cx = c // 4, c % 4
+            g = []
             for l, (dy, dx) in enumerate(offs[i][c]):
                 c2 = ((cy + dy) % 4) * 4 + ((cx + dx) % 4)
-                qdy = max(-pad, min(pad, (cy + dy) // 4))
-                qdx = max(-pad, min(pad, (cx + dx) // 4))
-                tab[i, l, c] = (c2, pad + qdy, pad + qdx)
-    return tab
+                y = pad + max(-pad, min(pad, (cy + dy) // 4))
+                x = pad + max(-pad, min(pad, (cx + dx) // 4))
+                if g and g[-1][2:] == (c2, y, x):
+                    g[-1] = (g[-1][0], l, c2, y, x)
+                else:
+                    g.append((l, l, c2, y, x))
+            per_c.append(tuple(tuple(e) for e in g))
+        groups.append(tuple(per_c))
+    return tuple(groups)
 
 
-def _fetch_fused_kernel(nd, n_levels, pad, tab, bounds, r_frac, n_src,
-                        radius_ref, *refs):
-    """Grid (by, bx). radius_ref: [16, TH, TW] full-res radius_px per
-    quarter texel. refs: n_src HBM plane sets, out [n_src, nd, 16, TH, TW],
-    scratch [n_src][16, TH+2p, TW+2p], sems."""
+def _select_chain(big, lv, groups_c):
+    """Planar select chain for one class: big [..., rh, rw] VMEM-resident
+    halo, lv [TH, TW] int32 level plane, groups_c static (lo, hi, *, y, x).
+    Returns the fetched [..., TH, TW] plane (leading dims broadcast)."""
+    acc = None
+    for (lo, hi, _c2, y, x) in groups_c:
+        sl = big[..., y:y + TH, x:x + TW]
+        m = (lv == lo) if lo == hi else (lv >= lo) & (lv <= hi)
+        if big.ndim == 3:
+            m = m[None]
+        acc = sl if acc is None else jnp.where(m, sl, acc)
+    return acc
+
+
+def _fetch_fused_kernel(nd, pad, groups, n_src, lvl_ref, *refs):
+    """Grid (by, bx, dir) — direction FASTEST so the halo DMA (gated on
+    i == 0; scratch persists across grid steps) runs once per tile.
+    lvl_ref: [1, 16, TH, TW] int32 level plane for direction i.
+    refs: n_src HBM plane sets, out [n_src, 1, 16, TH, TW],
+    scratch [n_src][16, rh, rw] (tile-aligned halo extents), sems."""
     src_hbm = refs[:n_src]
     out_ref = refs[n_src]
     scratch = refs[n_src + 1:n_src + 1 + n_src]
     sems = refs[-1]
     by = pl.program_id(0)
     bx = pl.program_id(1)
+    i = pl.program_id(2)
+    rh, rw = _dma_extents(pad)
 
-    for s in range(n_src):
-        pltpu.make_async_copy(
-            src_hbm[s].at[:, pl.ds(by * TH, TH + 2 * pad),
-                          pl.ds(bx * TW, TW + 2 * pad)],
-            scratch[s], sems.at[s]).start()
-    for s in range(n_src):
-        pltpu.make_async_copy(
-            src_hbm[s].at[:, pl.ds(by * TH, TH + 2 * pad),
-                          pl.ds(bx * TW, TW + 2 * pad)],
-            scratch[s], sems.at[s]).wait()
-
-    radius = radius_ref[...]                       # [16, TH, TW]
-    for i in range(nd):
-        m = radius * r_frac[i]
-        lvl = jnp.zeros((16, TH, TW), jnp.int32)
-        for b in bounds:                           # shift_level_index
-            lvl = lvl + (m > b).astype(jnp.int32)
+    @pl.when(i == 0)
+    def _dma():
         for s in range(n_src):
-            acc = jnp.zeros((16, TH, TW), jnp.float32)
-            big = scratch[s][...]
-            for l in range(n_levels):
-                planes = [big[tab[i, l, c, 0],
-                              tab[i, l, c, 1]:tab[i, l, c, 1] + TH,
-                              tab[i, l, c, 2]:tab[i, l, c, 2] + TW]
-                          for c in range(16)]
-                acc = jnp.where(lvl == l, jnp.stack(planes), acc)
-            out_ref[s, i] = acc
+            pltpu.make_async_copy(
+                src_hbm[s].at[:, pl.ds(by * TH, rh), pl.ds(bx * TW, rw)],
+                scratch[s], sems.at[s]).start()
+        for s in range(n_src):
+            pltpu.make_async_copy(
+                src_hbm[s].at[:, pl.ds(by * TH, rh), pl.ds(bx * TW, rw)],
+                scratch[s], sems.at[s]).wait()
+
+    for d in range(nd):
+        @pl.when(i == d)
+        def _body(d=d):
+            for s in range(n_src):
+                big = scratch[s][...]               # [16, rh, rw]
+                for c in range(16):
+                    lv = lvl_ref[0, c]
+                    out_ref[s, 0, c] = _fetch_one(big, lv, groups[d][c])
+
+
+def _fetch_one(big, lv, groups_c):
+    """One class of the fused fetch: selects among per-group source-class
+    planes (each group reads a DIFFERENT class plane c2)."""
+    acc = None
+    for (lo, hi, c2, y, x) in groups_c:
+        sl = big[c2, y:y + TH, x:x + TW]
+        m = (lv == lo) if lo == hi else (lv >= lo) & (lv <= hi)
+        acc = sl if acc is None else jnp.where(m, sl, acc)
+    return acc
 
 
 @functools.partial(jax.jit,
@@ -103,39 +156,45 @@ def _fetch_fused_call(padded_sets, radius_q, *, pad, levels_key, offs_key,
     levels = np.asarray(levels_key, np.float32)
     offs = offs_key
     n_src = len(padded_sets)
-    n_levels = len(levels)
     bounds = tuple(float(b) for b in
                    np.sqrt(levels[:-1].astype(np.float64)
                            * levels[1:].astype(np.float64)))
-    tab = _class_tables(offs, pad)
-    r_frac = radii_key
+    groups = _class_groups(offs, pad)
     qh, qw = radius_q.shape[1:]
     hp = qh + (-qh) % TH
     wp = qw + (-qw) % TW
     radius_p = jnp.pad(radius_q, ((0, 0), (0, hp - qh), (0, wp - qw)))
-    sets = [jnp.pad(s, ((0, 0), (0, hp - qh), (0, wp - qw)))
-            for s in padded_sets]
+    # per-direction level plane (the XLA tier's shift_level_index, exactly:
+    # same bounds, same float32 multiply) — int32 [nd, 16, hp, wp]
+    lvl = jnp.stack([
+        sum(((radius_p * float(r) > b).astype(jnp.int32) for b in bounds),
+            start=jnp.zeros((16, hp, wp), jnp.int32))
+        for r in radii_key])
     # re-pad note: padded_sets are already halo-padded [16, qh+2p, qw+2p];
-    # extend the tile-alignment pad on the high side only
+    # extend on the high side for tile alignment AND for the rounded DMA
+    # extents (the last tile's over-fetch must stay in bounds)
+    rh, rw = _dma_extents(pad)
+    sets = [jnp.pad(s, ((0, 0), (0, hp - qh + rh - TH - 2 * pad),
+                        (0, wp - qw + rw - TW - 2 * pad)))
+            for s in padded_sets]
     nby, nbx = hp // TH, wp // TW
 
-    kernel = functools.partial(_fetch_fused_kernel, nd, n_levels, pad, tab,
-                               bounds, r_frac, n_src)
-    rad_spec = pl.BlockSpec((16, TH, TW), lambda i, j: (0, i, j),
+    kernel = functools.partial(_fetch_fused_kernel, nd, pad, groups, n_src)
+    lvl_spec = pl.BlockSpec((1, 16, TH, TW), lambda j, l, i: (i, 0, j, l),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n_src, nd, 16, TH, TW),
-                            lambda i, j: (0, 0, 0, i, j),
+    out_spec = pl.BlockSpec((n_src, 1, 16, TH, TW),
+                            lambda j, l, i: (0, i, 0, j, l),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(nby, nbx),
-        in_specs=[rad_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * n_src,
+        grid=(nby, nbx, nd),
+        in_specs=[lvl_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * n_src,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_src, nd, 16, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((16, TH + 2 * pad, TW + 2 * pad),
-                                   jnp.float32) for _ in range(n_src)]
+        scratch_shapes=[pltpu.VMEM((16, rh, rw), jnp.float32)
+                        for _ in range(n_src)]
         + [pltpu.SemaphoreType.DMA((n_src,))],
-    )(radius_p, *sets)
+    )(lvl, *sets)
     return out[..., :qh, :qw]
 
 
@@ -164,8 +223,7 @@ def fetch_all_directions(padded_sets, pad, radius_px_q, levels, offs, radii):
 # fetch_sd_direction streams acc [16,k,qh,qw] through HBM once per level
 # group per direction (~10 GB/frame at 1080p, the bulk of phase 2); here one
 # halo DMA per TILE serves all directions x levels from VMEM (direction is
-# the fastest grid axis; scratch persists across grid steps, and the
-# per-direction slice origins ride in SMEM indexed by program_id).
+# the fastest grid axis, each direction a static pl.when branch).
 
 
 def _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw):
@@ -196,9 +254,28 @@ def _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw):
     return tab, ok
 
 
-def _fetch_sd_kernel(k, n_levels, pad, guard, bounds,
-                     tab_ref, rfrac_ref, radius_ref, sd_hbm, out_ref,
-                     scratch, sem):
+def _sd_groups(tab):
+    """Dedup consecutive levels with identical local origins into
+    (lo, hi, None, y, x) select groups per (dir, class)."""
+    nd, n_levels = tab.shape[:2]
+    groups = []
+    for i in range(nd):
+        per_c = []
+        for c in range(16):
+            g = []
+            for l in range(n_levels):
+                y, x = int(tab[i, l, c, 0]), int(tab[i, l, c, 1])
+                if g and g[-1][3:] == (y, x):
+                    g[-1] = (g[-1][0], l, None, y, x)
+                else:
+                    g.append((l, l, None, y, x))
+            per_c.append(tuple(tuple(e) for e in g))
+        groups.append(tuple(per_c))
+    return tuple(groups)
+
+
+def _fetch_sd_kernel(k, nd, pad, gy, gx, groups,
+                     lvl_ref, sd_hbm, out_ref, scratch, sem):
     by = pl.program_id(0)
     bx = pl.program_id(1)
     i = pl.program_id(2)                            # direction: FASTEST axis
@@ -207,38 +284,28 @@ def _fetch_sd_kernel(k, n_levels, pad, guard, bounds,
     # y0 in [guard-pad, guard+pad] (clamping only bites at the map edge,
     # where the guard band is dead anyway). Scratch persists across grid
     # steps and direction is the fastest axis, so the halo DMA runs once
-    # per TILE, not once per (direction, tile).
+    # per TILE, not once per (direction, tile). gy/gx are the axis-specific
+    # padded guards, chosen by the caller so y_lo/x_lo are (8,128)-aligned
+    # and the extents are tile-aligned (Mosaic slice rules).
+    rh, rw = _dma_extents(pad)
+
     @pl.when(i == 0)
     def _dma():
-        y_lo = by * TH + guard - pad
-        x_lo = bx * TW + guard - pad
+        y_lo = by * TH + gy - pad
+        x_lo = bx * TW + gx - pad
         cp = pltpu.make_async_copy(
-            sd_hbm.at[:, pl.ds(y_lo, TH + 2 * pad),
-                      pl.ds(x_lo, TW + 2 * pad)],
+            sd_hbm.at[:, pl.ds(y_lo, rh), pl.ds(x_lo, rw)],
             scratch, sem)
         cp.start()
         cp.wait()
 
-    radius = radius_ref[...]                        # [16, TH, TW]
-
-    # the per-direction radius fraction and slice origins ride in SMEM
-    # indexed by program_id: each direction body is traced and run ONCE per
-    # grid step (the previous compute-all-directions-select-one form did
-    # nd x the VPU work per block)
-    m = radius * rfrac_ref[i]
-    lvl = jnp.zeros((16, TH, TW), jnp.int32)
-    for b in bounds:
-        lvl = lvl + (m > b).astype(jnp.int32)
-    acc = jnp.zeros((16, k, TH, TW), jnp.float32)
-    for l in range(n_levels):
-        sls = []
-        for c in range(16):
-            dy = tab_ref[i, l, c, 0]
-            dx = tab_ref[i, l, c, 1]
-            sls.append(scratch[:, pl.ds(dy, TH), pl.ds(dx, TW)])
-        sl = jnp.stack(sls)                         # [16,k,TH,TW]
-        acc = jnp.where((lvl == l)[:, None], sl, acc)
-    out_ref[...] = acc[None]
+    for d in range(nd):
+        @pl.when(i == d)
+        def _body(d=d):
+            big = scratch[...]                       # [k, rh, rw]
+            for c in range(16):
+                lv = lvl_ref[0, c]
+                out_ref[0, c] = _select_chain(big, lv, groups[d][c])
 
 
 def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
@@ -252,44 +319,54 @@ def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
     k = sd_map.shape[-1]
     sd_pl = jnp.moveaxis(sd_map, -1, 0)             # [k, sd_h, sd_w]
     sd_h, sd_w = sd_pl.shape[1:]
-    n_levels = len(levels)
     bounds = tuple(float(b) for b in
                    np.sqrt(np.asarray(levels[:-1], np.float64)
                            * np.asarray(levels[1:], np.float64)))
-    r_frac = tuple(float(r) for r in radii)
     tab, ok = _sd_tables(offs, guard, pad, sd_h, sd_w, qh, qw)
     if not ok:
         return None
+    groups = _sd_groups(tab)
 
     hp = qh + (-qh) % TH
     wp = qw + (-qw) % TW
     radius_p = jnp.pad(radius_px_q, ((0, 0), (0, hp - qh), (0, wp - qw)))
-    # pad the SD planes so every halo DMA is in bounds: rows up to
-    # hp + guard + pad, plus pad below guard-pad if guard < pad
-    lo = max(0, pad - guard)
-    hi_y = max(0, hp + guard + pad - sd_h + lo)
-    hi_x = max(0, wp + guard + pad - sd_w + lo)
-    sd_pad = jnp.pad(sd_pl, ((0, 0), (lo, hi_y), (lo, hi_x)), mode="edge")
-    guard_k = guard + lo
+    # per-direction level planes, computed exactly as shift_level_index
+    lvl = jnp.stack([
+        sum(((radius_p * float(r) > b).astype(jnp.int32) for b in bounds),
+            start=jnp.zeros((16, hp, wp), jnp.int32))
+        for r in radii])
+    rh, rw = _dma_extents(pad)
+    # pad the SD planes low so the DMA origin constants (guard - pad) are
+    # tile-aligned per axis (Mosaic: dynamic slice offsets/extents must
+    # respect the (8, 128) tiling), and high so the rounded extents stay in
+    # bounds. Scratch row 0 still maps to original SD row (tile + guard-pad)
+    # on both axes, so the slice tables are unchanged.
+    lo_y = max(0, pad - guard)
+    while (guard + lo_y - pad) % 8:
+        lo_y += 1
+    lo_x = max(0, pad - guard)
+    while (guard + lo_x - pad) % 128:
+        lo_x += 1
+    hi_y = max(0, hp - TH + rh + guard - pad - sd_h)
+    hi_x = max(0, wp - TW + rw + guard - pad - sd_w)
+    sd_pad = jnp.pad(sd_pl, ((0, 0), (lo_y, hi_y), (lo_x, hi_x)),
+                     mode="edge")
+    gy, gx = guard + lo_y, guard + lo_x
 
     nby, nbx = hp // TH, wp // TW
-    kernel = functools.partial(_fetch_sd_kernel, k, n_levels, pad, guard_k,
-                               bounds)
-    rad_spec = pl.BlockSpec((16, TH, TW), lambda j, l, i: (0, j, l),
+    kernel = functools.partial(_fetch_sd_kernel, k, nd, pad, gy, gx, groups)
+    lvl_spec = pl.BlockSpec((1, 16, TH, TW), lambda j, l, i: (i, 0, j, l),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 16, k, TH, TW),
                             lambda j, l, i: (i, 0, 0, j, l),
                             memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(nby, nbx, nd),
-        in_specs=[smem, smem, rad_spec, pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[lvl_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nd, 16, k, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, TH + 2 * pad, TW + 2 * pad),
-                                   jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, rh, rw), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
-    )(jnp.asarray(tab, jnp.int32),
-      jnp.asarray(np.asarray(r_frac, np.float32)), radius_p, sd_pad)
+    )(lvl, sd_pad)
     return out[..., :qh, :qw]

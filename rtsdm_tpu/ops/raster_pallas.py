@@ -513,12 +513,12 @@ def _fetch_kernel(nci, nflat, nrp, ncop,
     cnt = count_ref[0, 0, 0]
     wchunk = jnp.reshape(wchunk_ref[...], (RB, 1))
     wlane = jnp.reshape(wlane_ref[...], (RB, 1))
-    b1 = jnp.reshape(b1_ref[...], (RB, 1))
-    b2 = jnp.reshape(b2_ref[...], (RB, 1))
+    b1 = jnp.reshape(b1_ref[...], (1, RB))
+    b2 = jnp.reshape(b2_ref[...], (1, RB))
     b0 = 1.0 - b1 - b2
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, TC), 1)
 
-    acc[...] = jnp.zeros((RB, nrp), jnp.float32)
+    acc[...] = jnp.zeros((nrp, RB), jnp.float32)
 
     def body(j, carry):
         ci = list_ref[0, 0, j]
@@ -526,24 +526,27 @@ def _fetch_kernel(nci, nflat, nrp, ncop,
         cp.start()
         sel = ((wchunk == ci) & (lane == wlane)).astype(jnp.float32)
         cp.wait()
-        # one-hot row extraction on the MXU: [RB,TC] x [nrp,TC]^T -> [RB,nrp]
-        ext = jax.lax.dot_general(sel, scratch[0], (((1,), (1,)), ((), ())),
+        # one-hot row extraction on the MXU: [nrp,TC] x [RB,TC]^T ->
+        # [nrp,RB] — attribute rows along sublanes, pixels along lanes, so
+        # the combine below reads ROW slices (a dim-0 stack of lane-offset
+        # column slices is a Mosaic-unsupported relayout)
+        ext = jax.lax.dot_general(scratch[0], sel, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         acc[...] = acc[...] + ext
         return carry
 
     jax.lax.fori_loop(0, cnt, body, 0)
 
-    a = acc[...]                                   # [RB, nrp]
-    cols = []
+    a = acc[...]                                   # [nrp, RB]
     for i in range(nci):                           # barycentric combine
-        cols.append(b0[:, 0] * a[:, 3 * i] + b1[:, 0] * a[:, 3 * i + 1]
-                    + b2[:, 0] * a[:, 3 * i + 2])
+        out_ref[0, i:i + 1, :] = (b0 * a[3 * i:3 * i + 1, :]
+                                  + b1 * a[3 * i + 1:3 * i + 2, :]
+                                  + b2 * a[3 * i + 2:3 * i + 3, :])
     for f in range(nflat):                         # per-triangle rows
-        cols.append(a[:, 3 * nci + f])
-    while len(cols) < ncop:
-        cols.append(jnp.zeros((RB,), jnp.float32))
-    out_ref[...] = jnp.stack(cols, axis=0)[None]   # [1, ncop, RB]
+        out_ref[0, nci + f:nci + f + 1, :] = \
+            a[3 * nci + f:3 * nci + f + 1, :]
+    for p in range(nci + nflat, ncop):
+        out_ref[0, p:p + 1, :] = jnp.zeros((1, RB), jnp.float32)
 
 
 def pack_attr_chunks(interp, flats):
@@ -617,7 +620,7 @@ def fetch_attributes_pallas(tri_id, bary, interp, flats):
                   pix_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nb, ncop, RB), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((RB, nrp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nrp, RB), jnp.float32),
                         pltpu.VMEM((1, nrp, TC), jnp.float32),
                         pltpu.SemaphoreType.DMA((1,))],
     )(counts[:, None, None], lists[:, None, :],

@@ -5,24 +5,35 @@ shifted positions. As XLA that is a per-pixel gather (4 taps bilinear, 16
 effective taps Catmull-Rom): ~100M gathered elements per 720p frame for the
 9-tap CR fetch — ~1 s on TPU, and the headline graphs run TWO TAA passes.
 
-TPU-native design (no gather anywhere):
+TPU-native design (no gather anywhere, Mosaic-verified constraints):
   * separable filters: Catmull-Rom's 9 bilinear taps expand to the exact
     4x4 tensor-product kernel, bilinear to 2x2 — both are "N weighted taps
     per axis at consecutive texel rows/columns",
-  * per 8x128 pixel block, sample positions are coherent (motion fields are
-    smooth); one DMA brings the bounding region [C, RH, RW] into VMEM
-    (origin = per-block min tap, so UNIFORM motion of any magnitude fits;
-    only intra-block motion SPREAD is bounded),
-  * the y-axis filter is folded into a weighted N-hot row matrix and
-    applied as ONE MXU matmul [B, RH] x [RH, RW] -> per-pixel filtered
-    rows; the x-axis filter is a weighted N-hot lane mask + reduce on the
-    VPU,
-  * pixels whose taps exceed the region (violent motion discontinuities)
-    fall back to a caller-provided plane (for TAA: the current frame —
-    the variance clip bounds the error exactly like a disocclusion).
+  * per 8x128 pixel block, one DMA brings a bounding region [C, RH, RW]
+    into VMEM. The region origin is the per-block min tap FLOOR-ALIGNED to
+    the (8, 128) VMEM tiling (Mosaic requires provably aligned dynamic DMA
+    origins — `(x // 8) * 8` carries the divisibility proof); the region
+    extents carry the alignment slack and are tile-aligned,
+  * the filter runs ROW-AT-A-TIME so every per-pixel quantity stays a
+    [1, BW] lane vector (Mosaic has no [8,128]->[1024,1] reshape and no
+    cheap transposes): x-filter FIRST as one MXU matmul per (row, slab,
+    channel) — region rows x weighted-N-hot columns [RH', RW] @ [RW, BW] —
+    then the y-filter as an N-hot weighted sublane reduction,
+  * the region's rows are processed in 56-row SLABS (48-row assignment
+    stride, 8-row tap overlap, slab starts 8-aligned); a slab's matmul is
+    skipped (`pl.when`) when no pixel of the output row lands in it. Small
+    whole-map textures (env maps, page atlases — unbounded tap spread
+    across pages) stay EXACT because the region is the whole map, while
+    coherent sample fields only pay for the 1-2 slabs they touch,
+  * validity is value-space: out-of-range taps simply never match the
+    N-hot iota, so the filtered weight mass differs from 1; pixels with
+    |mass - 1| >= 1e-4 take the caller-provided fallback plane (for TAA:
+    the current frame — the variance clip bounds the error exactly like a
+    disocclusion). A dropped tap with |w| < 1e-4 counts as valid, which
+    bounds the value error by ~1e-4 * range instead of falling back.
 
 Edge semantics match passes/temporal._bilinear: taps clamp to the image
-border (implemented by edge-padding the texture and clamping tap indices,
+border (implemented by edge-padding the texture and clamping tap bases,
 which blends equal values — bit-equivalent).
 
 Reference: TAA.ps.slang:45-76 (the GPU version leans on texture units; the
@@ -34,12 +45,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BH, BW = 8, 128      # output block
 MARGIN = 16          # intra-block tap-spread allowance (pixels, each side)
+SLAB = 56            # slab slice height (rows live per matmul)
+STRIDE = 48          # slab assignment stride (SLAB - 8 tap overlap)
+VMEM_BUDGET = 6 << 20  # region bytes per call; channels chunk to fit
 
 
 def whole_map_exact(h, w):
@@ -77,54 +90,109 @@ def _axis_weights(p, mode):
     return (tc - 1.0).astype(jnp.int32), [w0, w1, w2, w3]
 
 
-def _warp_kernel(c, n_tap, rh, rw, hpad, wpad, mode,
-                 sx_ref, sy_ref, fb_ref, tex_hbm, out_ref, scratch, sem):
-    sx = sx_ref[...].reshape(BH * BW, 1)
-    sy = sy_ref[...].reshape(BH * BW, 1)
+def _slabs(rh):
+    """Static (slice_start, assign_lo, assign_hi) covering region rows: a
+    pixel with first tap ly in [assign_lo, assign_hi] has all taps inside
+    [slice_start, slice_start + min(SLAB, rh)). Slice starts are 8-aligned
+    (STRIDE and rh - SLAB are multiples of 8); entries sharing a slice
+    start merge into one gated matmul."""
+    sh = min(SLAB, rh)
+    out = []
+    s = 0
+    while True:
+        ss = max(0, min(STRIDE * s, rh - sh))
+        lo = STRIDE * s
+        last = STRIDE * (s + 1) >= rh - 4
+        hi = rh - 4 if last else STRIDE * (s + 1) - 1
+        if out and out[-1][0] == ss:
+            out[-1] = (ss, out[-1][1], hi)
+        else:
+            out.append((ss, lo, hi))
+        if last:
+            return tuple(out)
+        s += 1
 
-    bx0, wxs = _axis_weights(sx, mode)
-    by0, wys = _axis_weights(sy, mode)
-    # clamp the tap BASE so every clipped tap still reads an edge-copy row
-    # of the pad-4 texture (all taps equal at the border — identical to the
-    # per-tap clip in temporal._bilinear); hpad/wpad = unpadded H/W,
-    # hrows/wcols = padded totals
+
+def _warp_kernel(c, n_tap, rh, rw, hpad, wpad, mode, whole,
+                 sy_ref, sx_ref, fb_ref, tex_hbm, out_ref,
+                 acc, scratch, sem):
+    """Grid (hb//BH, wb//BW). sy/sx: [BH, BW] sample rows/cols (pixel
+    units); fb/out: [c, BH, BW]; scratch [c, rh, rw]; acc [c+1, BH, BW]
+    (filtered channels + weight-mass sentinel)."""
     hrows, wcols = tex_hbm.shape[1], tex_hbm.shape[2]
-    bx0 = jnp.clip(bx0, -n_tap, wpad - 1)
+    by0, wys = _axis_weights(sy_ref[...], mode)     # [BH, BW]
+    bx0, wxs = _axis_weights(sx_ref[...], mode)
+    # clamp the tap BASE so border samples read the edge-copy pad (all taps
+    # equal at the border — identical to the per-tap clip in
+    # temporal._bilinear); hpad/wpad = unpadded H/W
     by0 = jnp.clip(by0, -n_tap, hpad - 1)
+    bx0 = jnp.clip(bx0, -n_tap, wpad - 1)
 
-    # region origin: min first-tap over the block (dynamic scalars), in
-    # pad-4 coordinates
-    oy = jnp.clip(jnp.min(by0) + 4, 0, hrows - rh)
-    ox = jnp.clip(jnp.min(bx0) + 4, 0, wcols - rw)
-    pltpu.make_async_copy(tex_hbm.at[:, pl.ds(oy, rh), pl.ds(ox, rw)],
-                          scratch, sem).start()
+    if whole:
+        oy = 0
+        ox = 0
 
-    ly = by0 + 4 - oy                       # local first-tap row
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _dma():
+            cp = pltpu.make_async_copy(tex_hbm, scratch, sem)
+            cp.start()
+            cp.wait()
+    else:
+        # region origin: min first-tap over the block (pad-4 coordinates),
+        # floored to the (8, 128) tiling — the floor product form is what
+        # lets Mosaic prove the DMA origin alignment
+        oy = jnp.clip(jnp.min(by0) + 4, 0, hrows - rh)
+        oy = (oy // 8) * 8
+        ox = jnp.clip(jnp.min(bx0) + 4, 0, wcols - rw)
+        ox = (ox // 128) * 128
+        cp = pltpu.make_async_copy(
+            tex_hbm.at[:, pl.ds(oy, rh), pl.ds(ox, rw)], scratch, sem)
+        cp.start()
+        cp.wait()
+
+    ly = by0 + 4 - oy                               # [BH, BW] region-local
     lx = bx0 + 4 - ox
-    ok = ((ly >= 0) & (ly <= rh - n_tap)
-          & (lx >= 0) & (lx <= rw - n_tap))           # [B,1]
+    sh = min(SLAB, rh)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (rw, BW), 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (sh, BW), 0)
 
-    lys = jnp.where(ok, ly, 0)
-    lxs = jnp.where(ok, lx, 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BH * BW, rh), 1)
-    wrow = jnp.zeros((BH * BW, rh), jnp.float32)
-    for t in range(n_tap):
-        wrow = wrow + jnp.where(row_iota == lys + t, wys[t], 0.0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BH * BW, rw), 1)
-    wcol = jnp.zeros((BH * BW, rw), jnp.float32)
-    for t in range(n_tap):
-        wcol = wcol + jnp.where(col_iota == lxs + t, wxs[t], 0.0)
+    for r in range(BH):
+        ly_r = ly[r:r + 1, :]                       # [1, BW]
+        lx_r = lx[r:r + 1, :]
+        wcolT = jnp.zeros((rw, BW), jnp.float32)    # weighted N-hot columns
+        for t in range(n_tap):
+            wcolT = wcolT + jnp.where(iota_w == lx_r + t,
+                                      wxs[t][r:r + 1, :], 0.0)
+        swx = jnp.sum(wcolT, axis=0, keepdims=True)
+        acc[:, r:r + 1, :] = jnp.zeros((c + 1, 1, BW), jnp.float32)
 
-    pltpu.make_async_copy(tex_hbm.at[:, pl.ds(oy, rh), pl.ds(ox, rw)],
-                          scratch, sem).wait()
+        for (ss, a_lo, a_hi) in _slabs(rh):
+            sel = (ly_r >= a_lo) & (ly_r <= a_hi)
 
-    okp = ok.reshape(BH, BW)
-    for ch in range(c):
-        rows = jax.lax.dot_general(wrow, scratch[ch],
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        val = jnp.sum(rows * wcol, axis=1).reshape(BH, BW)
-        out_ref[ch] = jnp.where(okp, val, fb_ref[ch])
+            @pl.when(jnp.any(sel))
+            def _slab(ss=ss, sel=sel):
+                lloc = ly_r - ss
+                wrowT = jnp.zeros((sh, BW), jnp.float32)
+                for t in range(n_tap):
+                    wrowT = wrowT + jnp.where((iota_s == lloc + t) & sel,
+                                              wys[t][r:r + 1, :], 0.0)
+                acc[c, r:r + 1, :] += jnp.sum(wrowT, axis=0, keepdims=True)
+                for ch in range(c):
+                    xf = jax.lax.dot_general(
+                        scratch[ch, ss:ss + sh, :], wcolT,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [sh, BW]
+                    acc[ch, r:r + 1, :] += jnp.sum(xf * wrowT, axis=0,
+                                                   keepdims=True)
+
+        valid = jnp.abs(acc[c, r:r + 1, :] * swx - 1.0) < 1e-4
+        for ch in range(c):
+            out_ref[ch, r:r + 1, :] = jnp.where(
+                valid, acc[ch, r:r + 1, :], fb_ref[ch, r:r + 1, :])
+
+
+def _round(v, m):
+    return v + (-v) % m
 
 
 def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
@@ -145,16 +213,36 @@ def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
     ho, wo = sx.shape
     hb = ho + (-ho) % BH
     wb = wo + (-wo) % BW
-    # region: motion-bounded window, or the whole map (+clamp slack) when
-    # the map is small — then every sample is valid regardless of spread
-    # (env maps, page atlases). Budget ~2.5 MB of VMEM for the region.
-    rh = h + 8 + n_tap if h <= 768 else BH + 2 * MARGIN + n_tap
-    rw = w + 8 + n_tap if w <= 256 else BW + 2 * MARGIN + n_tap
-    assert c * rh * rw * 4 <= (4 << 20), (c, rh, rw)
-    # pad 4 low (clamped tap base reaches -n_tap >= -4) and enough high
-    # that any clamped origin still fits a full [rh, rw] region
-    hi_y = max(rh - 1, n_tap + 4)
-    hi_x = max(rw - 1, n_tap + 4)
+    whole_y = h <= 768
+    whole_x = w <= 256
+
+    # pad 4 low on both axes (clamped tap base reaches -n_tap >= -4); high
+    # pads sized so every (clipped, floor-aligned) region stays in bounds
+    if whole_y:
+        rh = _round(h + 4 + n_tap + 8, 8)
+        hi_y = rh - h - 4
+    else:
+        rh = _round(BH + 2 * MARGIN + n_tap + 7, 8)
+        hi_y = rh - 1
+    if whole_x:
+        rw = _round(w + 4 + n_tap + 8, 128)
+        hi_x = rw - w - 4
+    else:
+        rw = _round(BW + 2 * MARGIN + n_tap + 127, 128)
+        hi_x = rw - 1
+    whole = whole_y and whole_x
+    # mixed small/large axes: fall back to the bounded region on both (the
+    # whole_map_exact gate keeps exactness-dependent callers off this path)
+    if not whole:
+        if whole_y:
+            rh = _round(min(h + 4 + n_tap + 8, BH + 2 * MARGIN + n_tap + 7),
+                        8)
+            hi_y = rh - 1
+        if whole_x:
+            rw = _round(min(w + 4 + n_tap + 8,
+                            BW + 2 * MARGIN + n_tap + 127), 128)
+            hi_x = rw - 1
+
     texp = jnp.pad(tex, ((0, 0), (4, hi_y), (0, 0)), mode="edge")
     if wrap_x:
         reps = -(-hi_x // w)
@@ -172,18 +260,34 @@ def warp_resample_pallas(tex, sx, sy, fallback, mode="catmull_rom",
     sxp, syp = p2(sx), p2(sy)
     fbp = jnp.pad(fallback, ((0, 0), (0, hb - ho), (0, wb - wo)))
 
-    kernel = functools.partial(_warp_kernel, c, n_tap, rh, rw, h, w, mode)
+    # chunk channels so the VMEM region fits the budget
+    cmax = max(1, VMEM_BUDGET // (rh * rw * 4))
+    if c > cmax:
+        outs = [warp_resample_pallas(tex[c0:c0 + cmax], sx, sy,
+                                     fallback[c0:c0 + cmax], mode=mode,
+                                     wrap_x=wrap_x)
+                for c0 in range(0, c, cmax)]
+        return jnp.concatenate(outs, axis=0)
+
+    kernel = functools.partial(_warp_kernel, c, n_tap, rh, rw, h, w, mode,
+                               whole)
     blk = pl.BlockSpec((BH, BW), lambda i, j: (i, j),
                        memory_space=pltpu.VMEM)
     cblk = pl.BlockSpec((c, BH, BW), lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM)
+    if whole:
+        # scratch holds the whole padded map: DMA extents = array extents
+        # (no slicing, no alignment constraint beyond the padded shape)
+        texp = jnp.pad(texp, ((0, 0), (0, rh - texp.shape[1]),
+                              (0, rw - texp.shape[2])))
     out = pl.pallas_call(
         kernel,
         grid=(hb // BH, wb // BW),
         in_specs=[blk, blk, cblk, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=cblk,
         out_shape=jax.ShapeDtypeStruct((c, hb, wb), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c, rh, rw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c + 1, BH, BW), jnp.float32),
+                        pltpu.VMEM((c, rh, rw), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
-    )(sxp, syp, fbp, texp)
+    )(syp, sxp, fbp, texp)
     return out[:, :ho, :wo]

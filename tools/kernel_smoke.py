@@ -106,12 +106,49 @@ def smoke_warp():
     assert err < 1e-4, err
 
 
+def smoke_fetch_attrs():
+    from rtsdm_tpu.ops.raster import fetch_vertex_attributes, interpolate
+    from rtsdm_tpu.ops.raster_pallas import fetch_attributes_pallas
+
+    rng = np.random.default_rng(11)
+    t, h, w = 9000, 96, 256          # t above PALLAS_RASTER_MIN_TRIS
+    tri_id = jnp.asarray(
+        rng.integers(-1, t, (h, w)).astype(np.int32))
+    b = rng.uniform(0, 1, (h, w, 2)).astype(np.float32)
+    bary = jnp.asarray(b * (b.sum(-1, keepdims=True) < 1))
+    interp = [jnp.asarray(rng.random((t, 3, 3)).astype(np.float32)),
+              jnp.asarray(rng.random((t, 3, 2)).astype(np.float32))]
+    flats = [jnp.asarray(rng.integers(0, 7, (t,)).astype(np.int32))]
+    got = fetch_attributes_pallas(tri_id, bary, interp, flats)
+    for g, tab in zip(got, interp):
+        ref = interpolate(tri_id, bary, tab)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   atol=2e-6)
+    fl = np.asarray(got[-1])
+    ref_fl = np.where(np.asarray(tri_id) >= 0,
+                      np.asarray(flats[0])[np.maximum(np.asarray(tri_id), 0)],
+                      0)
+    np.testing.assert_array_equal(fl.astype(np.int32), ref_fl)
+
+
 def smoke_raster():
-    from rtsdm_tpu.ops.raster import rasterize
+    # tessellate the box so the triangle count exceeds
+    # PALLAS_RASTER_MIN_TRIS — a 36-tri scene takes the XLA binning path
+    # and would leave the Pallas sort-middle kernel untested on hardware
+    from rtsdm_tpu.ops.raster import PALLAS_RASTER_MIN_TRIS, rasterize
     from rtsdm_tpu.scene.procedural import cornell_box
 
     scene = cornell_box()
-    out = rasterize(scene.camera.view_proj_mat, scene.positions,
+    tris = np.asarray(scene.positions)            # [T,3,3]
+    for _ in range(4):                            # 4x midpoint subdivision
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        tris = np.concatenate([
+            np.stack([a, ab, ca], 1), np.stack([ab, b, bc], 1),
+            np.stack([ca, bc, c], 1), np.stack([ab, bc, ca], 1)])
+    assert tris.shape[0] > PALLAS_RASTER_MIN_TRIS, tris.shape
+    out = rasterize(scene.camera.view_proj_mat,
+                    jnp.asarray(tris.astype(np.float32)),
                     width=256, height=256, cull="back")
     depth = np.asarray(out["depth"])
     cov = float((depth < 1.0).mean())
@@ -159,6 +196,8 @@ def main():
         _check("fetch_all_directions (phase1 fused fetch)", smoke_fetch_fused),
         _check("fetch_sd_all_directions (phase2 SD fetch)", smoke_fetch_sd),
         _check("warp_resample_pallas (TAA/history warp)", smoke_warp),
+        _check("fetch_attributes_pallas (G-buffer fetch)",
+               smoke_fetch_attrs),
         _check("rasterize (sort-middle visibility)", smoke_raster),
         _check("rt.closest_hit (ray trace)", smoke_rt),
     ]
