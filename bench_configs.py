@@ -138,6 +138,8 @@ def main():
         try:
             r = run_config(c)
         except Exception as e:  # keep the report going
+            import traceback
+            traceback.print_exc(file=sys.stderr)
             r = dict(name=c["name"], error=str(e)[:300])
         print(json.dumps(r), flush=True)
         results.append(r)

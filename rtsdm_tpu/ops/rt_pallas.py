@@ -113,18 +113,77 @@ def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry):
     return tuple(out)
 
 
+def shared_origin_rows(v0t, e1t, e2t, origin):
+    """Per-triangle shared-origin intersection rows (XLA, once per frame).
+
+    Every SD ray starts at the pinhole camera origin, so the Möller-Trumbore
+    cross products that mix ray and triangle data collapse to per-TRIANGLE
+    constants (scalar-triple-product identities: with tv = origin - v0,
+    det = e1.(d x e2) = d.(e2 x e1), u*det = tv.(d x e2) = d.(e2 x tv),
+    v*det = d.(tv x e1), t*det = e2.(tv x e1) = tv.(e1 x e2)).
+
+    Returns (nt, bt, ct, tp): [3,Tp] x3 + [1,Tp] — d.nt = det, d.bt = u*det,
+    d.ct = v*det, tp = t*det."""
+    def cross(a, b):
+        return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                          a[2] * b[0] - a[0] * b[2],
+                          a[0] * b[1] - a[1] * b[0]])
+
+    tv = origin.reshape(3, 1) - v0t
+    nt = cross(e2t, e1t)
+    bt = cross(e2t, tv)
+    ct = cross(tv, e1t)
+    tp = jnp.sum(tv * cross(e1t, e2t), axis=0, keepdims=True)
+    return nt, bt, ct, tp
+
+
+def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
+                        dx, dy, dz, tmin, tmax, za, zb,
+                        nx, ny, nz, bx, by, bz, cx, cy, cz, tp,
+                        acc_back, reject, amask, carry):
+    """Per-chunk intersection + reservoir fold, shared-origin form. Ray
+    components are [RB,TC] broadcasts; triangle rows are [1,TC]."""
+    det = dx * nx + dy * ny + dz * nz
+    if cull_back:
+        ok = det > eps_det
+    else:
+        ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
+    ok = ok & (reject == 0.0)
+    inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
+    u = (dx * bx + dy * by + dz * bz) * inv
+    v = (dx * cx + dy * cy + dz * cz) * inv
+    t = tp * inv
+    ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t > tmin) & (t < tmax)
+    # alpha-coverage test at the hit's barycentric cell (the baked-mask
+    # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
+    # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
+    cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+            + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+    abit = jax.lax.shift_right_logical(
+        jnp.broadcast_to(amask, cell.shape), cell) & 1
+    ok = ok_face & (abit > 0)
+
+    d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
+    return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
+                      d_norm, carry)
+
+
 def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
                aabb_ref,
-               v0_ref, e1_ref, e2_ref, flag_ref,
+               nt_ref, bt_ref, ct_ref, flag_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmin_ref, tmax_ref, za_ref, zb_ref,
                *out_refs):
     # ray blocks arrive as [1, RB] rows (compact in HBM — a [Rp,1] column
     # layout tile-pads x128 and OOMs at multi-megaray counts); reshape to
     # [RB, 1] columns once, then hoist the lane-broadcasts: one [RB,TC]
-    # materialization per ray component per block instead of one per use
+    # materialization per ray component per block instead of one per use.
+    # Triangles arrive as SHARED-ORIGIN rows (shared_origin_rows): the
+    # origin-dependent cross products are baked per frame, so the per-chunk
+    # math is three dot products instead of two cross products + three dots
+    # (~30% of the per-chunk VPU ops, measured against the classic form).
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
-    ox, oy, oz = bc(ox_ref), bc(oy_ref), bc(oz_ref)
     dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
     tmin, tmax = bc(tmin_ref), bc(tmax_ref)
     za, zb = bc(za_ref), bc(zb_ref)   # d_norm = clip(t*za - zb, 0, 1)
@@ -160,51 +219,19 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
 
     def _chunk_math(ci, carry):
         sl = lambda ref: ref[:, pl.ds(ci * TC, TC)]          # [3, TC]
-        v0 = sl(v0_ref)
-        e1 = sl(e1_ref)
-        e2 = sl(e2_ref)
-        flag = flag_ref[:, pl.ds(ci * TC, TC)]               # [3, TC]
+        nt = sl(nt_ref)
+        bt = sl(bt_ref)
+        ct = sl(ct_ref)
+        flag = flag_ref[:, pl.ds(ci * TC, TC)]               # [4, TC]
         acc_back = flag[0:1]
         reject = flag[1:2]
         amask = flag[2:3].astype(jnp.int32)                  # [1, TC] bitmap
-        v0x, v0y, v0z = v0[0:1], v0[1:2], v0[2:3]            # [1, TC]
-        e1x, e1y, e1z = e1[0:1], e1[1:2], e1[2:3]
-        e2x, e2y, e2z = e2[0:1], e2[1:2], e2[2:3]
-
-        # Möller-Trumbore, [RB,1] x [1,TC] -> [RB,TC]
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        if cull_back:
-            ok = det > eps_det
-        else:
-            ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
-        ok = ok & (reject == 0.0)
-        inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
-            & (t > tmin) & (t < tmax)
-        # alpha-coverage test at the hit's barycentric cell (the baked-mask
-        # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
-        # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
-        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
-                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
-        abit = jax.lax.shift_right_logical(
-            jnp.broadcast_to(amask, cell.shape), cell) & 1
-        ok = ok_face & (abit > 0)
-
-        d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
-        return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
-                          d_norm, carry)
+        tp = flag[3:4]                                       # t * det
+        return _shared_origin_math(
+            k, eps_det, cull_back, mode, max_count, alpha,
+            dx, dy, dz, tmin, tmax, za, zb,
+            nt[0:1], nt[1:2], nt[2:3], bt[0:1], bt[1:2], bt[2:3],
+            ct[0:1], ct[1:2], ct[2:3], tp, acc_back, reject, amask, carry)
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
     if max_count is not None:
@@ -224,7 +251,11 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
     flags: [2, Tp] — row 0 >0 accepts back faces (double-sided/alpha-tested,
     SVAO/Common.slang:695), row 1 >0 rejects the triangle entirely
     (failed alpha test / padding); origins/dirs: [R,3]; tmin/tmax/vz_scale: [R].
-    Returns packed int32 reservoir [R, num_samples] (INVALID = miss)."""
+    Returns packed int32 reservoir [R, num_samples] (INVALID = miss).
+
+    PRECONDITION: all origins equal (every SD ray starts at the pinhole
+    camera; origins[0] is taken as THE origin for the shared-origin
+    per-triangle precompute, shared_origin_rows)."""
     r = origins.shape[0]
     rp = r + ((-r) % RB)
     tp = v0t.shape[1]
@@ -258,13 +289,17 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
     aabb = jnp.zeros((8, n_chunks))
     aabb = aabb.at[0:3].set(cmin.T).at[3:6].set(cmax.T)
 
+    # shared-origin per-triangle rows + a [4, Tp] flag block carrying t*det
+    nt, bt, ct, tpk = shared_origin_rows(v0t, e1t, e2t, origins[0])
+    flags4 = jnp.concatenate([flags, tpk], axis=0)
+
     kernel = functools.partial(_sd_kernel, n_chunks, k, 1e-9, cull_back,
                                mode, max_count, alpha)
     aabb_spec = pl.BlockSpec((8, n_chunks), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     tri_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((3, tp), lambda i: (0, 0),
+    flag_spec = pl.BlockSpec((4, tp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -279,7 +314,7 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
         out_specs=tuple([out_spec] * k),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32)
                         for _ in range(k)),
-    )(aabb, v0t, e1t, e2t, flags, *cols)
+    )(aabb, nt, bt, ct, flags4, *cols)
     return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
 
 
@@ -300,7 +335,8 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
 #     proportional to the OVERLAPPING chunk count, not T.
 # ---------------------------------------------------------------------------
 
-PACK_ROWS = 12  # v0(3) e1(3) e2(3) flags(3: acc-back, reject, alpha mask)
+PACK_ROWS = 13  # shared-origin rows nt(3) bt(3) ct(3) tp(1)
+                # + flags(3: acc-back, reject, alpha mask)
 NSLOT = 4       # streaming scratch slots (DMA pipeline depth)
 LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
                 # Pallas parity tool (tools/pallas_parity.py) validates the
@@ -316,8 +352,10 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                       tri_hbm, *rest):
     out_refs = rest[:k]
     scratch, sems = rest[k], rest[k + 1]
+    # ox/oy/oz unused in the shared-origin math (kept in the ray-column
+    # layout for the XLA-side chunk-list builder's segment bounds)
+    del ox_ref, oy_ref, oz_ref
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
-    ox, oy, oz = bc(ox_ref), bc(oy_ref), bc(oz_ref)
     dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
     tmin, tmax = bc(tmin_ref), bc(tmax_ref)
     za, zb = bc(za_ref), bc(zb_ref)
@@ -337,43 +375,15 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                                      sems.at[slot])
 
     def chunk_math(carry, tri):
-        acc_back = tri[9:10]
-        reject = tri[10:11]
-        amask = tri[11:12].astype(jnp.int32)                 # [1, TC] bitmap
-        v0x, v0y, v0z = tri[0:1], tri[1:2], tri[2:3]         # [1, TC]
-        e1x, e1y, e1z = tri[3:4], tri[4:5], tri[5:6]
-        e2x, e2y, e2z = tri[6:7], tri[7:8], tri[8:9]
-
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        if cull_back:
-            ok = det > eps_det
-        else:
-            ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
-        ok = ok & (reject == 0.0)
-        inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv
-        ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
-            & (t > tmin) & (t < tmax)
-        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
-                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
-        abit = jax.lax.shift_right_logical(
-            jnp.broadcast_to(amask, cell.shape), cell) & 1
-        ok = ok_face & (abit > 0)
-
-        d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
-        return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
-                          d_norm, carry)
+        return _shared_origin_math(
+            k, eps_det, cull_back, mode, max_count, alpha,
+            dx, dy, dz, tmin, tmax, za, zb,
+            tri[0:1], tri[1:2], tri[2:3],                    # nt
+            tri[3:4], tri[4:5], tri[5:6],                    # bt
+            tri[6:7], tri[7:8], tri[8:9],                    # ct
+            tri[9:10],                                       # tp = t * det
+            tri[10:11], tri[11:12],
+            tri[12:13].astype(jnp.int32), carry)
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
     if max_count is not None:
@@ -600,22 +610,31 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
     return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
 
 
-def pack_for_stream(v0t, e1t, e2t, flags):
-    """[3,Tp] component arrays + flags -> (tri_packed [n_chunks, PACK_ROWS,
-    TC], chunk AABBs [8, n_chunks]) for the streaming kernel."""
+def pack_for_stream(v0t, e1t, e2t, flags, origin):
+    """[3,Tp] component arrays + flags + shared ray origin [3] ->
+    (tri_packed [n_chunks, PACK_ROWS, TC], chunk AABBs [8, n_chunks]) for
+    the streaming kernel. The packed rows are the shared-origin
+    intersection rows (shared_origin_rows), so they are per-FRAME data
+    (origin-dependent) — repacked under jit each frame, which XLA fuses
+    into a single cheap elementwise pass over the scene arrays."""
     tp = v0t.shape[1]
     n_chunks = tp // TC
-    packed = jnp.concatenate([v0t, e1t, e2t, flags], axis=0)
+    nt, bt, ct, tpk = shared_origin_rows(v0t, e1t, e2t, origin)
+    packed = jnp.concatenate([nt, bt, ct, tpk, flags], axis=0)
     tri_packed = packed.reshape(PACK_ROWS, n_chunks, TC).transpose(1, 0, 2)
     aabb = chunk_aabbs(v0t, e1t, e2t, flags)
     return tri_packed, aabb
 
 
-def prep_triangles_packed(scene, alpha_test: bool = True):
+def prep_triangles_packed(scene, alpha_test: bool = True, origin=None):
     """Pack triangles for the streaming kernel: tri_packed [n_chunks,
-    PACK_ROWS, TC] (v0/e1/e2 components + accept-backface/reject flags) in
-    HBM order + chunk AABBs [8, n_chunks] (jit-traceable)."""
-    return pack_for_stream(*prep_triangles(scene, alpha_test))
+    PACK_ROWS, TC] (shared-origin rows + accept-backface/reject flags) in
+    HBM order + chunk AABBs [8, n_chunks] (jit-traceable). origin defaults
+    to the scene camera position (the SD trace contract)."""
+    if origin is None:
+        origin = scene.camera.pos_w
+    return pack_for_stream(*prep_triangles(scene, alpha_test),
+                           jnp.asarray(origin))
 
 
 def chunk_aabbs(v0t, e1t, e2t, flags):

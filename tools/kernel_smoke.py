@@ -155,6 +155,38 @@ def smoke_raster():
     assert cov > 0.99, f"coverage {cov}"
 
 
+def smoke_sd_trace():
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tests"))
+    from test_pallas_interpret import _rays
+
+    import rtsdm_tpu.ops.rt_pallas as rp
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    cam = scene.camera
+    origins, dirs, tmin, tmax, cosw = _rays(scene)
+    v0t, e1t, e2t, flags = rp.prep_triangles(scene, True)
+    tri_packed, aabb = rp.prep_triangles_packed(scene, True)
+    res = np.asarray(rp.sd_trace_pallas(
+        v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, cosw,
+        cam.near_z, cam.far_z, num_samples=4))
+    stm = np.asarray(rp.sd_trace_pallas_stream(
+        tri_packed, aabb, origins, dirs, tmin, tmax, cosw,
+        cam.near_z, cam.far_z, num_samples=4))
+    # identical hit sets + quantized depths (keys hash ulp-divergent u,v —
+    # see tests/test_pallas_interpret.py)
+    assert ((res == rp.INVALID) == (stm == rp.INVALID)).all()
+    counts = (res != rp.INVALID).sum(1)
+    full = counts == res.shape[1]
+    d_res = np.where(res == rp.INVALID, -1, res % 65536)
+    d_stm = np.where(stm == rp.INVALID, -1, stm % 65536)
+    assert (np.sort(d_res[~full], 1) == np.sort(d_stm[~full], 1)).all()
+    assert counts.sum() > 100  # the closed box produces plenty of hits
+
+
 def smoke_rt():
     from rtsdm_tpu.ops import rt
     from rtsdm_tpu.scene.procedural import cornell_box
@@ -199,6 +231,8 @@ def main():
         _check("fetch_attributes_pallas (G-buffer fetch)",
                smoke_fetch_attrs),
         _check("rasterize (sort-middle visibility)", smoke_raster),
+        _check("sd_trace_pallas[_stream] (SD reservoir trace)",
+               smoke_sd_trace),
         _check("rt.closest_hit (ray trace)", smoke_rt),
     ]
     print("ALL OK" if all(oks) else "FAILURES")
