@@ -99,10 +99,13 @@ def _select_chain(big, lv, groups_c):
     return acc
 
 
-def _fetch_fused_kernel(nd, pad, groups, n_src, lvl_ref, *refs):
-    """Grid (by, bx, dir) — direction FASTEST so the halo DMA (gated on
-    i == 0; scratch persists across grid steps) runs once per tile.
-    lvl_ref: [1, 16, TH, TW] int32 level plane for direction i.
+def _fetch_fused_kernel(branches, pad, n_src, lvl_ref, *refs):
+    """Grid (by, bx, tap) — tap FASTEST so the halo DMA (gated on i == 0;
+    scratch persists across grid steps) runs once per tile. branches:
+    static ((t0, t1, per_class_groups), ...) — taps [t0, t1) share one
+    offset table and differ only in their level plane (SVAO: one tap per
+    direction; HBAO: NUM_STEPS taps per direction).
+    lvl_ref: [1, 16, TH, TW] int32 level plane for tap i.
     refs: n_src HBM plane sets, out [n_src, 1, 16, TH, TW],
     scratch [n_src][16, rh, rw] (tile-aligned halo extents), sems."""
     src_hbm = refs[:n_src]
@@ -125,14 +128,16 @@ def _fetch_fused_kernel(nd, pad, groups, n_src, lvl_ref, *refs):
                 src_hbm[s].at[:, pl.ds(by * TH, rh), pl.ds(bx * TW, rw)],
                 scratch[s], sems.at[s]).wait()
 
-    for d in range(nd):
-        @pl.when(i == d)
-        def _body(d=d):
+    for (t0, t1, groups) in branches:
+        cond = (i == t0) if t1 == t0 + 1 else ((i >= t0) & (i < t1))
+
+        @pl.when(cond)
+        def _body(groups=groups):
             for s in range(n_src):
                 big = scratch[s][...]               # [16, rh, rw]
                 for c in range(16):
                     lv = lvl_ref[0, c]
-                    out_ref[s, 0, c] = _fetch_one(big, lv, groups[d][c])
+                    out_ref[s, 0, c] = _fetch_one(big, lv, groups[c])
 
 
 def _fetch_one(big, lv, groups_c):
@@ -146,6 +151,46 @@ def _fetch_one(big, lv, groups_c):
     return acc
 
 
+def _fetch_call_core(padded_sets, lvl, branches, pad, qh, qw, nt=None):
+    """Shared pallas_call: padded_sets [16, qh+2p, qw+2p] each, lvl
+    [NL, 16, hp, wp] int32 level planes (tap i reads plane i % NL — lets
+    taps that share a level plane share the array), branches static.
+    Returns [n_src, NT, 16, qh, qw]."""
+    n_src = len(padded_sets)
+    nl = lvl.shape[0]
+    if nt is None:
+        nt = nl
+    hp = qh + (-qh) % TH
+    wp = qw + (-qw) % TW
+    # re-pad note: padded_sets are already halo-padded [16, qh+2p, qw+2p];
+    # extend on the high side for tile alignment AND for the rounded DMA
+    # extents (the last tile's over-fetch must stay in bounds)
+    rh, rw = _dma_extents(pad)
+    sets = [jnp.pad(s, ((0, 0), (0, hp - qh + rh - TH - 2 * pad),
+                        (0, wp - qw + rw - TW - 2 * pad)))
+            for s in padded_sets]
+    nby, nbx = hp // TH, wp // TW
+
+    kernel = functools.partial(_fetch_fused_kernel, branches, pad, n_src)
+    lvl_spec = pl.BlockSpec((1, 16, TH, TW),
+                            lambda j, l, i: (i % nl, 0, j, l),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_src, 1, 16, TH, TW),
+                            lambda j, l, i: (0, i, 0, j, l),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nby, nbx, nt),
+        in_specs=[lvl_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * n_src,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_src, nt, 16, hp, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, rh, rw), jnp.float32)
+                        for _ in range(n_src)]
+        + [pltpu.SemaphoreType.DMA((n_src,))],
+    )(lvl, *sets)
+    return out[..., :qh, :qw]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pad", "levels_key", "offs_key",
                                     "radii_key", "nd"))
@@ -155,11 +200,11 @@ def _fetch_fused_call(padded_sets, radius_q, *, pad, levels_key, offs_key,
     # from cfg + static tables only
     levels = np.asarray(levels_key, np.float32)
     offs = offs_key
-    n_src = len(padded_sets)
     bounds = tuple(float(b) for b in
                    np.sqrt(levels[:-1].astype(np.float64)
                            * levels[1:].astype(np.float64)))
     groups = _class_groups(offs, pad)
+    branches = tuple((d, d + 1, groups[d]) for d in range(nd))
     qh, qw = radius_q.shape[1:]
     hp = qh + (-qh) % TH
     wp = qw + (-qw) % TW
@@ -170,32 +215,7 @@ def _fetch_fused_call(padded_sets, radius_q, *, pad, levels_key, offs_key,
         sum(((radius_p * float(r) > b).astype(jnp.int32) for b in bounds),
             start=jnp.zeros((16, hp, wp), jnp.int32))
         for r in radii_key])
-    # re-pad note: padded_sets are already halo-padded [16, qh+2p, qw+2p];
-    # extend on the high side for tile alignment AND for the rounded DMA
-    # extents (the last tile's over-fetch must stay in bounds)
-    rh, rw = _dma_extents(pad)
-    sets = [jnp.pad(s, ((0, 0), (0, hp - qh + rh - TH - 2 * pad),
-                        (0, wp - qw + rw - TW - 2 * pad)))
-            for s in padded_sets]
-    nby, nbx = hp // TH, wp // TW
-
-    kernel = functools.partial(_fetch_fused_kernel, nd, pad, groups, n_src)
-    lvl_spec = pl.BlockSpec((1, 16, TH, TW), lambda j, l, i: (i, 0, j, l),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n_src, 1, 16, TH, TW),
-                            lambda j, l, i: (0, i, 0, j, l),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nby, nbx, nd),
-        in_specs=[lvl_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * n_src,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_src, nd, 16, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((16, rh, rw), jnp.float32)
-                        for _ in range(n_src)]
-        + [pltpu.SemaphoreType.DMA((n_src,))],
-    )(lvl, *sets)
-    return out[..., :qh, :qw]
+    return _fetch_call_core(padded_sets, lvl, branches, pad, qh, qw)
 
 
 def fetch_all_directions(padded_sets, pad, radius_px_q, levels, offs, radii):
@@ -216,6 +236,55 @@ def fetch_all_directions(padded_sets, pad, radius_px_q, levels, offs, radii):
                             levels_key=levels_key, offs_key=offs_key,
                             radii_key=radii_key, nd=nd)
     return [out[s] for s in range(len(padded_sets))]
+
+
+def _same_class_groups(offs_per_dir, pad):
+    """Per-direction per-class select groups WITHOUT cross-class remap
+    (HBAO samples within one deinterleave slice, HBAO.ps.slang:165):
+    offs_per_dir[d][c] = [(dy, dx)] per level, quarter-res units."""
+    out = []
+    for offs_c in offs_per_dir:
+        per_c = []
+        for c in range(16):
+            g = []
+            for l, (dy, dx) in enumerate(offs_c[c]):
+                y = pad + max(-pad, min(pad, int(dy)))
+                x = pad + max(-pad, min(pad, int(dx)))
+                if g and g[-1][2:] == (c, y, x):
+                    g[-1] = (g[-1][0], l, c, y, x)
+                else:
+                    g.append((l, l, c, y, x))
+            per_c.append(tuple(tuple(e) for e in g))
+        out.append(tuple(per_c))
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "offs_key",
+                                             "taps_per_dir"))
+def fetch_taps_same_class(padded_sets, lvl_taps, *, pad, offs_key,
+                          taps_per_dir):
+    """Fetch NT = n_dirs * taps_per_dir taps from each plane set with ONE
+    halo DMA per tile (the HBAO ring: 8 directions x NUM_STEPS steps x 28
+    levels of _fetch_slices as XLA is ~16k tiny ops — measured 57.7 ms of
+    config 1's 66 ms at 256x256; here every tap is a VMEM select chain).
+
+    padded_sets: list of [16, qh+2p, qw+2p] (ao_shift.pad_planes);
+    lvl_taps: [taps_per_dir, 16, qh, qw] int32 per-STEP level planes (the
+    HBAO march length is direction-independent, so tap t = d*taps_per_dir
+    + k reads plane k — the kernel shares the planes across directions);
+    offs_key: static tuple [n_dirs][16][(dy, dx) per level], quarter-res.
+    Returns [n_src, NT, 16, qh, qw] — entry [s, d*taps_per_dir + k]
+    bit-identical to passes/hbao._fetch_slices(padded_sets[s], pad,
+    lvl_taps[k], offs for direction d, qh, qw)."""
+    groups = _same_class_groups(offs_key, pad)
+    branches = tuple((d * taps_per_dir, (d + 1) * taps_per_dir, groups[d])
+                     for d in range(len(offs_key)))
+    qh, qw = lvl_taps.shape[2:]
+    hp = qh + (-qh) % TH
+    wp = qw + (-qw) % TW
+    lvl_p = jnp.pad(lvl_taps, ((0, 0), (0, 0), (0, hp - qh), (0, wp - qw)))
+    return _fetch_call_core(padded_sets, lvl_p, branches, pad, qh, qw,
+                            nt=len(offs_key) * taps_per_dir)
 
 
 # ---------------------------------------------------------------------------

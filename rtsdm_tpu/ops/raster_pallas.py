@@ -272,7 +272,10 @@ def _raster_sd_kernel(n_chunks, k, alpha,
         hb = (hb ^ (hb >> 13)) * jnp.int32(0x9E3779B1 - (1 << 32))
         hb = hb ^ (hb >> 16)
         rng = (jnp.abs(hb) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
-        h2 = (hb ^ (oid.astype(jnp.int32) * 2654435761)) ^ (hb >> 5)
+        # 0x9E3779B1 as the SIGNED int32 it wraps to: the raw unsigned
+        # literal overflows int32 argument parsing under jit
+        h2 = (hb ^ (oid.astype(jnp.int32)
+                    * jnp.int32(0x9E3779B1 - (1 << 32)))) ^ (hb >> 5)
         rng2 = (jnp.abs(h2) % 32767).astype(jnp.float32) * (1.0 / 32767.0)
         mask = coverage_mask_select(alpha, rng, rng2, k)
 

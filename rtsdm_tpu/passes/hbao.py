@@ -200,6 +200,15 @@ class HBAO(RenderPass):
             return z1, z2, s_uv
 
         shift_ctx = None
+        fetched = None
+        dir_nps = []
+        for i in range(NUM_DIRECTIONS):
+            theta = alpha * float(i)
+            c_np, s_np = np.cos(theta), np.sin(theta)
+            dir_nps.append(np.stack(
+                [HBAO_NOISE[:, 0] * c_np - HBAO_NOISE[:, 1] * s_np,
+                 HBAO_NOISE[:, 0] * s_np + HBAO_NOISE[:, 1] * c_np],
+                axis=-1).astype(np.float32))           # static [16,2]
         if use_shift:
             from ..ops import ao as A
             from ..ops.ao_shift import pad_planes
@@ -208,22 +217,51 @@ class HBAO(RenderPass):
             dq_pad = pad_planes(depth_q, pad)
             d2_pad = pad_planes(depth2_q, pad) if mode == 1 else None
             shift_ctx = (levels, dq_pad, d2_pad, pad)
+            import os
+            if (jax.devices()[0].platform not in ("cpu",)
+                    and not os.environ.get("RTSDM_HBAO_NO_PALLAS")):
+                # one fused Pallas fetch for ALL dirs x steps: the XLA
+                # _fetch_slices loop is dirs*steps*16*levels tiny select
+                # ops — measured 57.7 ms of config 1's 66 ms at 256x256
+                from ..ops.ao_shift import level_radius
+                from ..ops.fetch_pallas import fetch_taps_same_class
+                lvl_steps = []
+                r_q_steps = []
+                rp = rand[:, 2][:, None, None] * step_px + 1.0
+                for k in range(NUM_STEPS):
+                    m = jnp.clip(rp, 1.0, float(MAX_SHIFT_REACH))
+                    lvl_k = A.shift_level_index(levels, m)
+                    lvl_steps.append(lvl_k)
+                    r_q_steps.append(level_radius(levels, lvl_k))
+                    rp = rp + step_px
+                offs_key = tuple(
+                    tuple(tuple((int(round(float(r) * d_np[s, 1])),
+                                 int(round(float(r) * d_np[s, 0])))
+                                for r in levels) for s in range(16))
+                    for d_np in dir_nps)
+                sets = [dq_pad] + ([d2_pad] if mode == 1 else [])
+                fetched = fetch_taps_same_class(
+                    sets, jnp.stack(lvl_steps), pad=pad, offs_key=offs_key,
+                    taps_per_dir=NUM_STEPS)
 
         ao = jnp.zeros(lin_z.shape + (2,), jnp.float32)
         for i in range(NUM_DIRECTIONS):
-            theta = alpha * float(i)
-            c_np, s_np = np.cos(theta), np.sin(theta)
-            direction_np = np.stack(
-                [HBAO_NOISE[:, 0] * c_np - HBAO_NOISE[:, 1] * s_np,
-                 HBAO_NOISE[:, 0] * s_np + HBAO_NOISE[:, 1] * c_np],
-                axis=-1).astype(np.float32)            # static [16,2]
+            direction_np = dir_nps[i]
             direction = jnp.asarray(direction_np)
             ray_px = rand[:, 2][:, None, None] * step_px + 1.0
             for k in range(NUM_STEPS):
-                z1, z2, s_uv = sample_pair(i, k, ray_px,
-                                           direction_np=direction_np,
-                                           direction=direction,
-                                           shift_ctx=shift_ctx)
+                if fetched is not None:
+                    z1 = fetched[0, i * NUM_STEPS + k]
+                    z2 = (fetched[1, i * NUM_STEPS + k] if mode == 1
+                          else None)
+                    d_b = direction[:, None, None, :]
+                    s_uv = uv + jnp.round(
+                        r_q_steps[k][..., None] * d_b) * 4.0 * inv_res
+                else:
+                    z1, z2, s_uv = sample_pair(i, k, ray_px,
+                                               direction_np=direction_np,
+                                               direction=direction,
+                                               shift_ctx=shift_ctx)
                 s1 = cam.uv_to_view_space(s_uv, z1)
                 ao1, angle, fall_x = compute_ao(s1)
                 if mode == 1:

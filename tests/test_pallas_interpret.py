@@ -430,3 +430,51 @@ def test_warp_whole_map_criterion_is_honest():
 
     assert not WP.whole_map_exact(64, 512)
     assert (run(64, 512) == -9.0).any()
+
+
+def test_fetch_taps_same_class_matches_fetch_slices():
+    """fetch_taps_same_class == passes/hbao._fetch_slices per (dir, step),
+    bit-exact (the HBAO ring's fused Pallas tier)."""
+    import rtsdm_tpu.ops.fetch_pallas as FP
+    import rtsdm_tpu.ops.ao_shift as S
+    import rtsdm_tpu.ops.ao as A
+    from rtsdm_tpu.passes.hbao import HBAO_NOISE, _fetch_slices
+
+    rng = np.random.default_rng(23)
+    h, w = 128, 256
+    qh, qw = h // 4, w // 4
+    depth = jnp.asarray(rng.uniform(1.0, 30.0, (16, qh, qw))
+                        .astype(np.float32))
+    ray0 = jnp.asarray(rng.uniform(0.5, 40.0, (16, qh, qw))
+                       .astype(np.float32))
+    levels = A.shift_radius_levels(48.0)
+    pad = int(np.ceil(levels[-1]))
+    dpp = S.pad_planes(depth, pad)
+
+    n_dirs, n_steps = 4, 3
+    dir_nps = []
+    for i in range(n_dirs):
+        th = 2.0 * np.pi * i / n_dirs
+        dir_nps.append(np.stack(
+            [HBAO_NOISE[:, 0] * np.cos(th) - HBAO_NOISE[:, 1] * np.sin(th),
+             HBAO_NOISE[:, 0] * np.sin(th) + HBAO_NOISE[:, 1] * np.cos(th)],
+            axis=-1).astype(np.float32))
+    offs_key = tuple(
+        tuple(tuple((int(round(float(r) * d_np[s, 1])),
+                     int(round(float(r) * d_np[s, 0])))
+                    for r in levels) for s in range(16))
+        for d_np in dir_nps)
+    lvls = [A.shift_level_index(levels,
+                                jnp.clip(ray0 * (1.0 + 0.7 * k), 1.0, 48.0))
+            for k in range(n_steps)]
+
+    with interpret_mode(FP):
+        got = FP.fetch_taps_same_class([dpp], jnp.stack(lvls), pad=pad,
+                                       offs_key=offs_key,
+                                       taps_per_dir=n_steps)
+    for i in range(n_dirs):
+        offs_i = [list(offs_key[i][s]) for s in range(16)]
+        for k in range(n_steps):
+            ref = _fetch_slices(dpp, pad, lvls[k], offs_i, qh, qw)
+            np.testing.assert_array_equal(
+                np.asarray(got[0, i * n_steps + k]), np.asarray(ref))

@@ -90,7 +90,15 @@ def profile(m: Renderer, frames=8, reps=3):
 
         def f(sc, st, f0, prefix=prefix):
             def step(carry, fi):
-                ctx = RenderContext(width=rw, height=rh, scene=sc,
+                # perturb a real INPUT per step: with a Center sample
+                # pattern nothing else depends on fi, and XLA's
+                # loop-invariant code motion hoists the ENTIRE graph out of
+                # the scan — measured 8x under-report on config 1 (8.34 ms
+                # "in-graph" vs 70.7 ms honest steady state)
+                from rtsdm_tpu.utils.structs import replace
+                s = 1.0 + 1e-7 * (f0 + fi).astype(jnp.float32)
+                sc2 = replace(sc, positions=sc.positions * s)
+                ctx = RenderContext(width=rw, height=rh, scene=sc2,
                                     frame_index=f0 + fi, time=0.0,
                                     dictionary={"guardBand": gb})
                 produced, ns = _execute_prefix(graph, ctx, carry, prefix)

@@ -106,6 +106,29 @@ def smoke_warp():
     assert err < 1e-4, err
 
 
+def smoke_fetch_taps():
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..",
+                                      "tests"))
+    from test_pallas_interpret import \
+        test_fetch_taps_same_class_matches_fetch_slices as t
+
+    # run the interpret test's body with the REAL pallas_call (the
+    # interpret_mode patch becomes a no-op when invoked outside pytest on
+    # TPU: we re-patch it to identity)
+    import unittest.mock as mock
+
+    import test_pallas_interpret as T
+
+    @__import__("contextlib").contextmanager
+    def passthrough(*mods):
+        yield
+
+    with mock.patch.object(T, "interpret_mode", passthrough):
+        t()
+
+
 def smoke_fetch_attrs():
     from rtsdm_tpu.ops.raster import fetch_vertex_attributes, interpolate
     from rtsdm_tpu.ops.raster_pallas import fetch_attributes_pallas
@@ -227,6 +250,7 @@ def main():
     oks = [
         _check("fetch_all_directions (phase1 fused fetch)", smoke_fetch_fused),
         _check("fetch_sd_all_directions (phase2 SD fetch)", smoke_fetch_sd),
+        _check("fetch_taps_same_class (HBAO ring fetch)", smoke_fetch_taps),
         _check("warp_resample_pallas (TAA/history warp)", smoke_warp),
         _check("fetch_attributes_pallas (G-buffer fetch)",
                smoke_fetch_attrs),

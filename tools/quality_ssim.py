@@ -147,8 +147,15 @@ def run_config1_hbao():
     hb.set_scene(scene)
     packed = encode_normal_2x16(
         normalize(transform_vector(cam.view_mat, g["faceNormalW"])))
-    out, _ = hb.execute(ctx, {"depth": lin, "normals": packed})
-    hbao = np.asarray(jax.block_until_ready(out["ambientMap"]))
+    # the graph feeds HBAO deinterleaved depth (DeinterleaveDepth ->
+    # HBAO.depth, scripts/HBAO.py:44) and reinterleaves ambientMap
+    # the graph feeds RAW world normals (GBufferRaster.faceNormalW ->
+    # HBAO.normals, scripts/HBAO.py:45), not the 2x16-encoded buffer
+    from rtsdm_tpu.ops.ao_shift import deinterleave, interleave
+    out, _ = hb.execute(ctx, {"depth": deinterleave(lin),
+                              "normals": g["faceNormalW"]})
+    hbao = np.asarray(jax.block_until_ready(
+        interleave(out["ambientMap"], h, w)))
 
     rt_pass = RTAO({"maxAORayTHit": 0.5, "maxTheoreticalTHit": 0.5})
     rt_pass.set_scene(scene)
