@@ -1,6 +1,7 @@
-"""Global settings with JSON option files and attribute filters
+"""Global settings with JSON/TOML option files and attribute filters
 (reference Utils/Settings.h:297-324 — getOptions/addOptions and the
-wildcard-filtered attribute lookup used by scene options)."""
+wildcard-filtered attribute lookup used by scene options; the reference
+accepts both file formats, Settings.cpp addOptions overloads)."""
 from __future__ import annotations
 
 import fnmatch
@@ -15,8 +16,13 @@ class Settings:
     # Options (Settings::addOptions / getOption)
     def add_options(self, source):
         if isinstance(source, str):
-            with open(source) as f:
-                data = json.load(f)
+            if source.endswith(".toml"):
+                import tomllib
+                with open(source, "rb") as f:
+                    data = tomllib.load(f)
+            else:
+                with open(source) as f:
+                    data = json.load(f)
         else:
             data = dict(source)
         self._options.update(data)

@@ -20,6 +20,15 @@ def test_settings_options_and_filters():
     assert s.get_attribute("Bistro", "rtao.radius", 1.0) == 1.0
 
 
+def test_settings_toml_option_file(tmp_path):
+    p = tmp_path / "opts.toml"
+    p.write_text('[renderer]\nquality = 5\nname = "fast"\n')
+    s = Settings()
+    s.add_options(str(p))
+    assert s.get_option("renderer:quality") == 5
+    assert s.get_option("renderer:name") == "fast"
+
+
 def test_graph_script_roundtrip():
     from rtsdm_tpu.mogwai import Renderer, run_script
     repo = os.path.join(os.path.dirname(__file__), "..")
