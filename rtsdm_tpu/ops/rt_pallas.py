@@ -140,9 +140,16 @@ def shared_origin_rows(v0t, e1t, e2t, origin):
 def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
                         dx, dy, dz, tmin, tmax, za, zb,
                         nx, ny, nz, bx, by, bz, cx, cy, cz, tp,
-                        acc_back, reject, amask, carry):
+                        acc_back, reject, amask, carry, hit_gate=False):
     """Per-chunk intersection + reservoir fold, shared-origin form. Ray
-    components are [RB,TC] broadcasts; triangle rows are [1,TC]."""
+    components are [RB,TC] broadcasts; triangle rows are [1,TC].
+
+    hit_gate=True wraps everything past the face test in
+    lax.cond(any(ok_face)): most chunk visits accept no hit at all (the
+    requested-texel ray intervals are tight), and skipping the hash/alpha/
+    extraction tail is EXACT — merging an all-INVALID candidate set is the
+    identity on the carry. The r4 hardware profile showed the stream kernel
+    VPU-compute bound at ~2.4 us per visit; the tail is ~2/3 of the ops."""
     det = dx * nx + dy * ny + dz * nz
     if cull_back:
         ok = det > eps_det
@@ -155,18 +162,24 @@ def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
     t = tp * inv
     ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
         & (t > tmin) & (t < tmax)
-    # alpha-coverage test at the hit's barycentric cell (the baked-mask
-    # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
-    # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
-    cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
-            + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
-    abit = jax.lax.shift_right_logical(
-        jnp.broadcast_to(amask, cell.shape), cell) & 1
-    ok = ok_face & (abit > 0)
 
-    d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
-    return _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v,
-                      d_norm, carry)
+    def tail(carry):
+        # alpha-coverage test at the hit's barycentric cell (the baked-mask
+        # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
+        # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
+        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+        abit = jax.lax.shift_right_logical(
+            jnp.broadcast_to(amask, cell.shape), cell) & 1
+        okh = ok_face & (abit > 0)
+
+        d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
+        return _hash_tail(mode, k, max_count, alpha, okh, ok_face, u, v,
+                          d_norm, carry)
+
+    if not hit_gate:
+        return tail(carry)
+    return jax.lax.cond(jnp.any(ok_face), tail, lambda c: c, carry)
 
 
 def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
@@ -337,7 +350,14 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
 
 PACK_ROWS = 13  # shared-origin rows nt(3) bt(3) ct(3) tp(1)
                 # + flags(3: acc-back, reject, alpha mask)
-NSLOT = 4       # streaming scratch slots (DMA pipeline depth)
+NSLOT = 8       # streaming scratch slots (DMA pipeline depth); hardware A/B
+                # at 388k rays / 2.5k chunks: nslot=8 51.9 ms vs nslot=4 54.0
+SD_GROUP = 1    # chunks per list entry / DMA ("superchunk"). Hardware A/B
+                # (2026-08-19, 388k rays, 2.5k chunks, hit_gate on): group=2
+                # 65 ms, group=4 107 ms vs group=1 52 ms — the false-positive
+                # math from union super-AABBs costs MORE than the amortized
+                # DMA latency once the any(ok_face) tail gate makes a miss
+                # visit cheap. Keep 1; the knob stays for future scenes.
 LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
                 # Pallas parity tool (tools/pallas_parity.py) validates the
                 # kernels against the oracle at reference scale and fails
@@ -345,7 +365,7 @@ LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
 
 
 def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
-                      mode, max_count, alpha,
+                      mode, max_count, alpha, group, nslot, hit_gate,
                       count_ref, list_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmin_ref, tmax_ref, za_ref, zb_ref,
@@ -375,15 +395,21 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                                      sems.at[slot])
 
     def chunk_math(carry, tri):
-        return _shared_origin_math(
-            k, eps_det, cull_back, mode, max_count, alpha,
-            dx, dy, dz, tmin, tmax, za, zb,
-            tri[0:1], tri[1:2], tri[2:3],                    # nt
-            tri[3:4], tri[4:5], tri[5:6],                    # bt
-            tri[6:7], tri[7:8], tri[8:9],                    # ct
-            tri[9:10],                                       # tp = t * det
-            tri[10:11], tri[11:12],
-            tri[12:13].astype(jnp.int32), carry)
+        # tri is a [group*PACK_ROWS, TC] superchunk: `group` leaf chunks of
+        # math per DMA, static row offsets (Mosaic: no dynamic VMEM offsets)
+        for g in range(group):
+            o = g * PACK_ROWS
+            carry = _shared_origin_math(
+                k, eps_det, cull_back, mode, max_count, alpha,
+                dx, dy, dz, tmin, tmax, za, zb,
+                tri[o + 0:o + 1], tri[o + 1:o + 2], tri[o + 2:o + 3],  # nt
+                tri[o + 3:o + 4], tri[o + 4:o + 5], tri[o + 5:o + 6],  # bt
+                tri[o + 6:o + 7], tri[o + 7:o + 8], tri[o + 8:o + 9],  # ct
+                tri[o + 9:o + 10],                                # tp = t*det
+                tri[o + 10:o + 11], tri[o + 11:o + 12],
+                tri[o + 12:o + 13].astype(jnp.int32), carry,
+                hit_gate=hit_gate)
+        return carry
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
     if max_count is not None:
@@ -392,17 +418,17 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
     # 4-deep DMA pipeline: the 6 KB chunk transfers are latency-bound at
     # 2 slots (math per chunk ~ DMA latency); 3 outstanding prefetches keep
     # the queue full
-    for p0 in range(NSLOT - 1):
+    for p0 in range(nslot - 1):
         @pl.when(p0 < cnt)
         def _(p0=p0):
-            get_dma(p0 % NSLOT, p0).start()
+            get_dma(p0 % nslot, p0).start()
 
     def loop_body(j, carry):
-        slot = j % NSLOT
+        slot = j % nslot
 
-        @pl.when(j + (NSLOT - 1) < cnt)
+        @pl.when(j + (nslot - 1) < cnt)
         def _():
-            get_dma((j + (NSLOT - 1)) % NSLOT, j + (NSLOT - 1)).start()
+            get_dma((j + (nslot - 1)) % nslot, j + (nslot - 1)).start()
 
         get_dma(slot, j).wait()
         return chunk_math(carry, scratch[slot])
@@ -426,10 +452,10 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
         j_exit, r0 = jax.lax.while_loop(w_cond, w_body, (0, init[0]))
 
         def drain(i, _):
-            get_dma(i % NSLOT, i).wait()
+            get_dma(i % nslot, i).wait()
             return 0
 
-        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (NSLOT - 1)),
+        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (nslot - 1)),
                           drain, 0)
         res = (r0,)
     elif max_count is not None:
@@ -450,10 +476,10 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
         j_exit, res = jax.lax.while_loop(c_cond, c_body, (0, init))
 
         def drain2(i, _):
-            get_dma(i % NSLOT, i).wait()
+            get_dma(i % nslot, i).wait()
             return 0
 
-        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (NSLOT - 1)),
+        jax.lax.fori_loop(j_exit, jnp.minimum(cnt, j_exit + (nslot - 1)),
                           drain2, 0)
     else:
         res = jax.lax.fori_loop(0, cnt, loop_body, init)
@@ -552,21 +578,45 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "cull_back",
                                              "early_exit", "mode",
-                                             "max_count", "alpha"))
+                                             "max_count", "alpha",
+                                             "group", "nslot", "hit_gate"))
 def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                            vz_scale, near, far, *, num_samples: int = 4,
                            cull_back: bool = True, early_exit: bool = False,
                            mode: str = "default", max_count: int | None = None,
-                           alpha: float = 0.2):
+                           alpha: float = 0.2, group: int | None = None,
+                           nslot: int | None = None, hit_gate: bool = True):
     """Streaming variant of sd_trace_pallas: tri_packed [n_chunks, PACK_ROWS,
     TC] stays in HBM; each ray block DMA-streams only the chunks whose AABB
     overlaps its segment bundle. Same reservoir semantics and packed-int32
-    output as sd_trace_pallas."""
+    output as sd_trace_pallas.
+
+    group: morton-consecutive chunks per list entry / DMA (superchunk; see
+    SD_GROUP). nslot: DMA pipeline depth. Defaults = module constants."""
+    group = SD_GROUP if group is None else group
+    nslot = NSLOT if nslot is None else nslot
     r = origins.shape[0]
     rp = r + ((-r) % RB)
     nb = rp // RB
     n_chunks = aabb.shape[1]
     k = num_samples
+
+    if group > 1:
+        gpad = (-n_chunks) % group
+        if gpad:
+            # padding chunks are all-zero rows: det == 0 rejects every lane
+            tri_packed = jnp.pad(tri_packed, ((0, gpad), (0, 0), (0, 0)))
+            # empty AABB (min=+inf, max=-inf) never overlaps a segment
+            pad_cols = jnp.concatenate(
+                [jnp.full((3, gpad), jnp.inf), jnp.full((3, gpad), -jnp.inf),
+                 jnp.zeros((aabb.shape[0] - 6, gpad), aabb.dtype)], axis=0)
+            aabb = jnp.concatenate([aabb, pad_cols], axis=1)
+        n_super = aabb.shape[1] // group
+        sg = aabb.reshape(aabb.shape[0], n_super, group)
+        aabb = jnp.concatenate([sg[:3].min(-1), sg[3:6].max(-1),
+                                sg[6:].max(-1)], axis=0)
+        tri_packed = tri_packed.reshape(n_super, group * PACK_ROWS, TC)
+        n_chunks = n_super
 
     lists, counts = build_chunk_lists(aabb, origins, dirs, tmin, tmax)
     lw = lists.shape[1]
@@ -586,7 +636,8 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
             col(za), col(zb)]
 
     kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back,
-                               early_exit, n_chunks, mode, max_count, alpha)
+                               early_exit, n_chunks, mode, max_count, alpha,
+                               group, nslot, hit_gate)
     count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
     list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
@@ -604,8 +655,9 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
         out_specs=tuple([out_spec] * k),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32)
                         for _ in range(k)),
-        scratch_shapes=[pltpu.VMEM((NSLOT, PACK_ROWS, TC), jnp.float32),
-                        pltpu.SemaphoreType.DMA((NSLOT,))],
+        scratch_shapes=[pltpu.VMEM((nslot, group * PACK_ROWS, TC),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((nslot,))],
     )(counts[:, None, None], lists[:, None, :], *cols, tri_packed)
     return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
 

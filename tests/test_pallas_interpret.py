@@ -106,6 +106,27 @@ def test_hits_subset_of_oracle_and_count(cornell_trace):
             assert np.min(np.abs(want - g)) < 2e-4 if len(want) else True
 
 
+@pytest.mark.parametrize("group,nslot,hit_gate", [(2, 4, True), (4, 8, True),
+                                                  (1, 4, False)])
+def test_stream_group_and_gate_bitexact(cornell_trace, group, nslot,
+                                        hit_gate):
+    """Superchunk grouping visits a SUPERSET of chunks in the same relative
+    order, and merging an all-miss chunk is the identity on the reservoir;
+    the any(ok_face) tail gate skips only identity merges. Both must be
+    bit-identical to the (group=1, gate-on) default. nslot only changes the
+    DMA pipeline depth, never the math."""
+    scene = cornell_trace["scene"]
+    _, _, _, _, origins, dirs, tmin, tmax, cosw = cornell_trace["args"]
+    cam = scene.camera
+    tri_packed, aabb = rp.prep_triangles_packed(scene, True)
+    with interpret_mode(rp):
+        got = np.asarray(rp.sd_trace_pallas_stream(
+            tri_packed, aabb, origins, dirs, tmin, tmax, cosw,
+            cam.near_z, cam.far_z, num_samples=4, group=group, nslot=nslot,
+            hit_gate=hit_gate))
+    assert (got == cornell_trace["stm"]).all()
+
+
 def test_kbuffer_mode_keeps_nearest(cornell_trace):
     scene = cornell_trace["scene"]
     v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, cosw = \

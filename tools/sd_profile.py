@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--scene", default="SunTemple@full")
     ap.add_argument("--divisor", type=int, default=4)
     ap.add_argument("--guard", type=int, default=512)
+    ap.add_argument("--save-inputs", default=None,
+                    help="npz path: dump the captured kernel inputs for "
+                         "fast kernel-only A/B (tools/sd_kernel_ab.py) "
+                         "without re-paying the scene build")
     a = ap.parse_args()
 
     from rtsdm_tpu.ops import rt_pallas as rp
@@ -104,7 +108,9 @@ def main():
                              "StochasticDepthMap.rayMax": rmax})
         return marked["StochasticDepthMap.stochasticDepth"]
 
-    jax.block_until_ready(jax.jit(run_sd)(lin, g["depth"], ray_min, ray_max))
+    # capture must run EAGERLY: hooking inside a jit trace captures tracers,
+    # which leak out of the transform (UnexpectedTracerError)
+    jax.block_until_ready(run_sd(lin, g["depth"], ray_min, ray_max))
     rp.sd_trace_pallas_stream = orig
     (tri_packed, aabb, origins, dirs, tmin, tmax, vz, near, far) = \
         captured["args"]
@@ -112,6 +118,18 @@ def main():
     tri_packed, aabb, origins, dirs, tmin, tmax, vz = jax.block_until_ready(
         (tri_packed, aabb, origins, dirs, tmin, tmax, vz))
     out = {"chunks": int(tri_packed.shape[0]), "rays": int(dirs.shape[0])}
+
+    if a.save_inputs:
+        import numpy as _np
+        _np.savez_compressed(
+            a.save_inputs, tri_packed=_np.asarray(tri_packed),
+            aabb=_np.asarray(aabb), origins=_np.asarray(origins),
+            dirs=_np.asarray(dirs), tmin=_np.asarray(tmin),
+            tmax=_np.asarray(tmax), vz=_np.asarray(vz),
+            near=float(near), far=float(far),
+            kw=_np.asarray(json.dumps({m: kw[m] for m in kw
+                                       if not callable(kw[m])})))
+        print(f"saved kernel inputs -> {a.save_inputs}", flush=True)
 
     # average live chunk-list length (diagnostic)
     lists, counts = jax.jit(rp.build_chunk_lists)(aabb, origins, dirs,
