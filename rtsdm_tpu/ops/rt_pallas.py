@@ -138,32 +138,51 @@ def shared_origin_rows(v0t, e1t, e2t, origin):
 
 
 def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
-                        dx, dy, dz, tmin, tmax, za, zb,
-                        nx, ny, nz, bx, by, bz, cx, cy, cz, tp,
+                        d3, tmin, tmax, za, zb,
+                        n3, b3, c3, tp,
                         acc_back, reject, amask, carry, hit_gate=False):
-    """Per-chunk intersection + reservoir fold, shared-origin form. Ray
-    components are [RB,TC] broadcasts; triangle rows are [1,TC].
+    """Per-chunk intersection + reservoir fold, shared-origin form.
+
+    d3 = (dx, dy, dz) ray-direction broadcasts [RB, TC]; n3/b3/c3 are
+    [3, TC] triangle rows; tmin/tmax/za/zb are [RB, 1] columns. The three
+    Möller-Trumbore dots stay on the VPU: routing them through the MXU as
+    [RB,3] @ [3,TC] matmuls was A/B'd on hardware (2026-08-19) and LOST —
+    71.7 ms vs 52.1 ms for the 388k-ray SunTemple trace (k=3 f32-HIGHEST
+    matmuls pay 6 bf16 passes + operand relayout per visit; the "idle MXU"
+    is not free at this shape).
+
+    The face test compares UNNORMALIZED terms (pu, pv, tp against
+    det-scaled bounds): u >= 0 <=> pu*sign(det) >= 0, u+v <= 1 <=>
+    (pu+pv)*s <= |det|, t in (tmin,tmax) <=> tp*s in (tmin*|det|,
+    tmax*|det|) — so the reciprocal and the u/v/t normalizations move into
+    the gated tail and are only paid on hit visits.
 
     hit_gate=True wraps everything past the face test in
     lax.cond(any(ok_face)): most chunk visits accept no hit at all (the
     requested-texel ray intervals are tight), and skipping the hash/alpha/
     extraction tail is EXACT — merging an all-INVALID candidate set is the
-    identity on the carry. The r4 hardware profile showed the stream kernel
-    VPU-compute bound at ~2.4 us per visit; the tail is ~2/3 of the ops."""
-    det = dx * nx + dy * ny + dz * nz
+    identity on the carry. Hardware A/B 2026-08-19: gate off 95 ms, on
+    52 ms for the 388k-ray SunTemple trace."""
+    dx, dy, dz = d3
+    det = dx * n3[0:1] + dy * n3[1:2] + dz * n3[2:3]
+    pu = dx * b3[0:1] + dy * b3[1:2] + dz * b3[2:3]
+    pv = dx * c3[0:1] + dy * c3[1:2] + dz * c3[2:3]
     if cull_back:
         ok = det > eps_det
+        adet, spu, spv, stp = det, pu, pv, jnp.broadcast_to(tp, pu.shape)
     else:
         ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        adet, spu, spv, stp = det * s, pu * s, pv * s, tp * s
     ok = ok & (reject == 0.0)
-    inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
-    u = (dx * bx + dy * by + dz * bz) * inv
-    v = (dx * cx + dy * cy + dz * cz) * inv
-    t = tp * inv
-    ok_face = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
-        & (t > tmin) & (t < tmax)
+    ok_face = ok & (spu >= 0.0) & (spv >= 0.0) & (spu + spv <= adet) \
+        & (stp > tmin * adet) & (stp < tmax * adet)
 
     def tail(carry):
+        inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
+        u = pu * inv
+        v = pv * inv
+        t = tp * inv
         # alpha-coverage test at the hit's barycentric cell (the baked-mask
         # stand-in for hashed-alpha, see prep_triangles); ok_face (pre-alpha)
         # feeds the MAX_COUNT cap — the reference counts alpha-failed hits
@@ -190,16 +209,16 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
                *out_refs):
     # ray blocks arrive as [1, RB] rows (compact in HBM — a [Rp,1] column
     # layout tile-pads x128 and OOMs at multi-megaray counts); reshape to
-    # [RB, 1] columns once, then hoist the lane-broadcasts: one [RB,TC]
-    # materialization per ray component per block instead of one per use.
-    # Triangles arrive as SHARED-ORIGIN rows (shared_origin_rows): the
-    # origin-dependent cross products are baked per frame, so the per-chunk
-    # math is three dot products instead of two cross products + three dots
-    # (~30% of the per-chunk VPU ops, measured against the classic form).
+    # [RB, 1] columns once, then hoist the lane-broadcasts of the three
+    # direction components (used 3x each in the dots). Triangles arrive as
+    # SHARED-ORIGIN rows (shared_origin_rows): the origin-dependent cross
+    # products are baked per frame, so the per-chunk math is three dot
+    # products instead of two cross products + three dots.
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
-    dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
-    tmin, tmax = bc(tmin_ref), bc(tmax_ref)
-    za, zb = bc(za_ref), bc(zb_ref)   # d_norm = clip(t*za - zb, 0, 1)
+    d3 = (bc(dx_ref), bc(dy_ref), bc(dz_ref))
+    col0 = lambda r: jnp.reshape(r[...], (RB, 1))
+    tmin, tmax = col0(tmin_ref), col0(tmax_ref)
+    za, zb = col0(za_ref), col0(zb_ref)   # d_norm = clip(t*za - zb, 0, 1)
 
     # conservative AABB of this ray block's segments (SD-texel blocks are
     # spatially coherent; empty intervals contribute nothing) — the bundle
@@ -242,9 +261,8 @@ def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
         tp = flag[3:4]                                       # t * det
         return _shared_origin_math(
             k, eps_det, cull_back, mode, max_count, alpha,
-            dx, dy, dz, tmin, tmax, za, zb,
-            nt[0:1], nt[1:2], nt[2:3], bt[0:1], bt[1:2], bt[2:3],
-            ct[0:1], ct[1:2], ct[2:3], tp, acc_back, reject, amask, carry)
+            d3, tmin, tmax, za, zb,
+            nt, bt, ct, tp, acc_back, reject, amask, carry)
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
     if max_count is not None:
@@ -376,9 +394,10 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
     # layout for the XLA-side chunk-list builder's segment bounds)
     del ox_ref, oy_ref, oz_ref
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
-    dx, dy, dz = bc(dx_ref), bc(dy_ref), bc(dz_ref)
-    tmin, tmax = bc(tmin_ref), bc(tmax_ref)
-    za, zb = bc(za_ref), bc(zb_ref)
+    d3 = (bc(dx_ref), bc(dy_ref), bc(dz_ref))
+    col0 = lambda r: jnp.reshape(r[...], (RB, 1))
+    tmin, tmax = col0(tmin_ref), col0(tmax_ref)
+    za, zb = col0(za_ref), col0(zb_ref)
 
     raw = count_ref[0, 0, 0]
     # overflow fallback: a block overlapping more chunks than the list can
@@ -401,10 +420,10 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
             o = g * PACK_ROWS
             carry = _shared_origin_math(
                 k, eps_det, cull_back, mode, max_count, alpha,
-                dx, dy, dz, tmin, tmax, za, zb,
-                tri[o + 0:o + 1], tri[o + 1:o + 2], tri[o + 2:o + 3],  # nt
-                tri[o + 3:o + 4], tri[o + 4:o + 5], tri[o + 5:o + 6],  # bt
-                tri[o + 6:o + 7], tri[o + 7:o + 8], tri[o + 8:o + 9],  # ct
+                d3, tmin, tmax, za, zb,
+                tri[o + 0:o + 3],                                 # nt
+                tri[o + 3:o + 6],                                 # bt
+                tri[o + 6:o + 9],                                 # ct
                 tri[o + 9:o + 10],                                # tp = t*det
                 tri[o + 10:o + 11], tri[o + 11:o + 12],
                 tri[o + 12:o + 13].astype(jnp.int32), carry,
