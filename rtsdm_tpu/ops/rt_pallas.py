@@ -201,6 +201,65 @@ def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
     return jax.lax.cond(jnp.any(ok_face), tail, lambda c: c, carry)
 
 
+def _classic_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
+                         o3, d3, tmin, tmax, za, zb,
+                         v0, e1, e2,
+                         acc_back, reject, amask, carry, hit_gate=False):
+    """Per-chunk intersection + reservoir fold, classic Möller-Trumbore with
+    PER-RAY origins (o3 = (ox, oy, oz) [RB, 1] columns). Used by the any-hit
+    paths (RayShadow.ps.slang:131-186, ReSTIR visibility) whose rays start
+    at per-pixel surface points — the shared-origin collapse of
+    shared_origin_rows does not apply there.
+
+    Same unnormalized face test and gated tail as _shared_origin_math:
+    pvec = d x e2 and tv = o - v0 are formed per visit (9 + 3 ops/component
+    more than the shared-origin form), det = e1.pvec, u*det = tv.pvec,
+    qvec = tv x e1, v*det = d.qvec, t*det = e2.qvec."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    px = dy * e2[2:3] - dz * e2[1:2]
+    py = dz * e2[0:1] - dx * e2[2:3]
+    pz = dx * e2[1:2] - dy * e2[0:1]
+    det = e1[0:1] * px + e1[1:2] * py + e1[2:3] * pz
+    tvx = ox - v0[0:1]
+    tvy = oy - v0[1:2]
+    tvz = oz - v0[2:3]
+    pu = tvx * px + tvy * py + tvz * pz
+    qx = tvy * e1[2:3] - tvz * e1[1:2]
+    qy = tvz * e1[0:1] - tvx * e1[2:3]
+    qz = tvx * e1[1:2] - tvy * e1[0:1]
+    pv = dx * qx + dy * qy + dz * qz
+    tp = e2[0:1] * qx + e2[1:2] * qy + e2[2:3] * qz
+    if cull_back:
+        ok = det > eps_det
+        adet, spu, spv, stp = det, pu, pv, tp
+    else:
+        ok = (jnp.abs(det) > eps_det) & ((det > 0.0) | (acc_back > 0.0))
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        adet, spu, spv, stp = det * s, pu * s, pv * s, tp * s
+    ok = ok & (reject == 0.0)
+    ok_face = ok & (spu >= 0.0) & (spv >= 0.0) & (spu + spv <= adet) \
+        & (stp > tmin * adet) & (stp < tmax * adet)
+
+    def tail(carry):
+        inv = 1.0 / jnp.where(jnp.abs(det) < eps_det, 1.0, det)
+        u = pu * inv
+        v = pv * inv
+        t = tp * inv
+        cell = (jnp.clip(u * 4.0, 0.0, 3.0).astype(jnp.int32)
+                + 4 * jnp.clip(v * 4.0, 0.0, 3.0).astype(jnp.int32))
+        abit = jax.lax.shift_right_logical(
+            jnp.broadcast_to(amask, cell.shape), cell) & 1
+        okh = ok_face & (abit > 0)
+        d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
+        return _hash_tail(mode, k, max_count, alpha, okh, ok_face, u, v,
+                          d_norm, carry)
+
+    if not hit_gate:
+        return tail(carry)
+    return jax.lax.cond(jnp.any(ok_face), tail, lambda c: c, carry)
+
+
 def _sd_kernel(n_chunks, k, eps_det, cull_back, mode, max_count, alpha,
                aabb_ref,
                nt_ref, bt_ref, ct_ref, flag_ref,
@@ -368,6 +427,9 @@ def sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin, tmax, vz_scale,
 
 PACK_ROWS = 13  # shared-origin rows nt(3) bt(3) ct(3) tp(1)
                 # + flags(3: acc-back, reject, alpha mask)
+PACK_ROWS_CLASSIC = 12  # classic rows v0(3) e1(3) e2(3) + flags(3) — for
+                        # rays with PER-RAY origins (shadow/ReSTIR any-hit),
+                        # where the shared-origin precompute doesn't apply
 NSLOT = 8       # streaming scratch slots (DMA pipeline depth); hardware A/B
                 # at 388k rays / 2.5k chunks: nslot=8 51.9 ms vs nslot=4 54.0
 SD_GROUP = 1    # chunks per list entry / DMA ("superchunk"). Hardware A/B
@@ -384,18 +446,23 @@ LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
 
 def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                       mode, max_count, alpha, group, nslot, hit_gate,
+                      classic,
                       count_ref, list_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmin_ref, tmax_ref, za_ref, zb_ref,
                       tri_hbm, *rest):
     out_refs = rest[:k]
     scratch, sems = rest[k], rest[k + 1]
-    # ox/oy/oz unused in the shared-origin math (kept in the ray-column
-    # layout for the XLA-side chunk-list builder's segment bounds)
-    del ox_ref, oy_ref, oz_ref
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
     d3 = (bc(dx_ref), bc(dy_ref), bc(dz_ref))
     col0 = lambda r: jnp.reshape(r[...], (RB, 1))
+    if classic:
+        # per-ray origins feed the classic M-T form
+        o3 = (col0(ox_ref), col0(oy_ref), col0(oz_ref))
+    else:
+        # ox/oy/oz unused in the shared-origin math (kept in the ray-column
+        # layout for the XLA-side chunk-list builder's segment bounds)
+        del ox_ref, oy_ref, oz_ref
     tmin, tmax = col0(tmin_ref), col0(tmax_ref)
     za, zb = col0(za_ref), col0(zb_ref)
 
@@ -414,20 +481,32 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                                      sems.at[slot])
 
     def chunk_math(carry, tri):
-        # tri is a [group*PACK_ROWS, TC] superchunk: `group` leaf chunks of
+        # tri is a [group*rows, TC] superchunk: `group` leaf chunks of
         # math per DMA, static row offsets (Mosaic: no dynamic VMEM offsets)
         for g in range(group):
-            o = g * PACK_ROWS
-            carry = _shared_origin_math(
-                k, eps_det, cull_back, mode, max_count, alpha,
-                d3, tmin, tmax, za, zb,
-                tri[o + 0:o + 3],                                 # nt
-                tri[o + 3:o + 6],                                 # bt
-                tri[o + 6:o + 9],                                 # ct
-                tri[o + 9:o + 10],                                # tp = t*det
-                tri[o + 10:o + 11], tri[o + 11:o + 12],
-                tri[o + 12:o + 13].astype(jnp.int32), carry,
-                hit_gate=hit_gate)
+            if classic:
+                o = g * PACK_ROWS_CLASSIC
+                carry = _classic_origin_math(
+                    k, eps_det, cull_back, mode, max_count, alpha,
+                    o3, d3, tmin, tmax, za, zb,
+                    tri[o + 0:o + 3],                             # v0
+                    tri[o + 3:o + 6],                             # e1
+                    tri[o + 6:o + 9],                             # e2
+                    tri[o + 9:o + 10], tri[o + 10:o + 11],
+                    tri[o + 11:o + 12].astype(jnp.int32), carry,
+                    hit_gate=hit_gate)
+            else:
+                o = g * PACK_ROWS
+                carry = _shared_origin_math(
+                    k, eps_det, cull_back, mode, max_count, alpha,
+                    d3, tmin, tmax, za, zb,
+                    tri[o + 0:o + 3],                             # nt
+                    tri[o + 3:o + 6],                             # bt
+                    tri[o + 6:o + 9],                             # ct
+                    tri[o + 9:o + 10],                            # tp = t*det
+                    tri[o + 10:o + 11], tri[o + 11:o + 12],
+                    tri[o + 12:o + 13].astype(jnp.int32), carry,
+                    hit_gate=hit_gate)
         return carry
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
@@ -598,22 +677,27 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
 @functools.partial(jax.jit, static_argnames=("num_samples", "cull_back",
                                              "early_exit", "mode",
                                              "max_count", "alpha",
-                                             "group", "nslot", "hit_gate"))
+                                             "group", "nslot", "hit_gate",
+                                             "classic"))
 def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                            vz_scale, near, far, *, num_samples: int = 4,
                            cull_back: bool = True, early_exit: bool = False,
                            mode: str = "default", max_count: int | None = None,
                            alpha: float = 0.2, group: int | None = None,
-                           nslot: int | None = None, hit_gate: bool = True):
+                           nslot: int | None = None, hit_gate: bool = True,
+                           classic: bool = False):
     """Streaming variant of sd_trace_pallas: tri_packed [n_chunks, PACK_ROWS,
     TC] stays in HBM; each ray block DMA-streams only the chunks whose AABB
     overlaps its segment bundle. Same reservoir semantics and packed-int32
     output as sd_trace_pallas.
 
     group: morton-consecutive chunks per list entry / DMA (superchunk; see
-    SD_GROUP). nslot: DMA pipeline depth. Defaults = module constants."""
+    SD_GROUP). nslot: DMA pipeline depth. Defaults = module constants.
+    classic: tri_packed holds PACK_ROWS_CLASSIC raw rows (pack_for_stream_
+    classic) and rays may have PER-RAY origins — the any-hit contract."""
     group = SD_GROUP if group is None else group
     nslot = NSLOT if nslot is None else nslot
+    pack_rows = PACK_ROWS_CLASSIC if classic else PACK_ROWS
     r = origins.shape[0]
     rp = r + ((-r) % RB)
     nb = rp // RB
@@ -634,7 +718,7 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
         sg = aabb.reshape(aabb.shape[0], n_super, group)
         aabb = jnp.concatenate([sg[:3].min(-1), sg[3:6].max(-1),
                                 sg[6:].max(-1)], axis=0)
-        tri_packed = tri_packed.reshape(n_super, group * PACK_ROWS, TC)
+        tri_packed = tri_packed.reshape(n_super, group * pack_rows, TC)
         n_chunks = n_super
 
     lists, counts = build_chunk_lists(aabb, origins, dirs, tmin, tmax)
@@ -656,7 +740,7 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
 
     kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back,
                                early_exit, n_chunks, mode, max_count, alpha,
-                               group, nslot, hit_gate)
+                               group, nslot, hit_gate, classic)
     count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
     list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
@@ -674,7 +758,7 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
         out_specs=tuple([out_spec] * k),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32)
                         for _ in range(k)),
-        scratch_shapes=[pltpu.VMEM((nslot, group * PACK_ROWS, TC),
+        scratch_shapes=[pltpu.VMEM((nslot, group * pack_rows, TC),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA((nslot,))],
     )(counts[:, None, None], lists[:, None, :], *cols, tri_packed)
@@ -695,6 +779,18 @@ def pack_for_stream(v0t, e1t, e2t, flags, origin):
     tri_packed = packed.reshape(PACK_ROWS, n_chunks, TC).transpose(1, 0, 2)
     aabb = chunk_aabbs(v0t, e1t, e2t, flags)
     return tri_packed, aabb
+
+
+def pack_for_stream_classic(v0t, e1t, e2t, flags):
+    """Classic-row packing for per-ray-origin traces (any-hit): raw
+    v0/e1/e2 + flags, [n_chunks, PACK_ROWS_CLASSIC, TC]. Origin-independent
+    — packable once per scene, not per frame."""
+    tp = v0t.shape[1]
+    n_chunks = tp // TC
+    packed = jnp.concatenate([v0t, e1t, e2t, flags], axis=0)
+    tri_packed = packed.reshape(PACK_ROWS_CLASSIC, n_chunks, TC) \
+        .transpose(1, 0, 2)
+    return tri_packed, chunk_aabbs(v0t, e1t, e2t, flags)
 
 
 def prep_triangles_packed(scene, alpha_test: bool = True, origin=None):
@@ -775,31 +871,29 @@ def decode_packed(packed, near, far, normalize=True, mode="default"):
 
 
 def any_hit_pallas(scene, origins, dirs, tmin, tmax, alpha_test: bool = True):
-    """Boolean shadow-ray occlusion through the SD kernel (k=1): hit = the
-    1-slot reservoir caught anything. Both faces block (RayShadow semantics,
-    RayShadow.ps.slang:131-186 — no cull flags on shadow rays).
+    """Boolean shadow-ray occlusion through the streaming kernel (k=1,
+    classic rows): hit = the 1-slot reservoir caught anything. Both faces
+    block (RayShadow semantics, RayShadow.ps.slang:131-186 — no cull flags
+    on shadow rays).
 
-    Above the VMEM-residency cap the HBM-streaming tier takes over (the
-    resident kernel holds all triangles in VMEM — ~400k tris blows the
-    16 MB scoped-vmem limit, observed at SunTemple-full under RayShadow)."""
+    Shadow/visibility rays have PER-RAY origins, so this always routes
+    through the classic-origin streaming tier (the shared-origin collapse
+    the SD kernels use would evaluate every ray from origins[0] — wrong
+    geometry for all but one pixel)."""
     v0t, e1t, e2t, flags = prep_triangles(scene, alpha_test)
     flags = flags.at[0].set(1.0)  # back faces block shadow rays
     vz = jnp.ones_like(tmin)      # depth output unused
-    if scene.num_triangles > 65536:
-        tri_packed, aabb = pack_for_stream(v0t, e1t, e2t, flags)
-        # near-to-far chunk order along the mean ray direction: with the
-        # kernel's any-hit early exit, most blocks terminate after the
-        # first few occluder chunks instead of streaming the scene
-        md = jnp.mean(dirs, axis=0)
-        cent = (aabb[0:3] + aabb[3:6]) * 0.5
-        order = jnp.argsort(cent[0] * md[0] + cent[1] * md[1]
-                            + cent[2] * md[2])
-        packed = sd_trace_pallas_stream(tri_packed[order], aabb[:, order],
-                                        origins, dirs, tmin, tmax, vz,
-                                        0.0, 1.0, num_samples=1,
-                                        cull_back=False, early_exit=True)
-    else:
-        packed = sd_trace_pallas(v0t, e1t, e2t, flags, origins, dirs, tmin,
-                                 tmax, vz, 0.0, 1.0, num_samples=1,
-                                 cull_back=False)
+    tri_packed, aabb = pack_for_stream_classic(v0t, e1t, e2t, flags)
+    # near-to-far chunk order along the mean ray direction: with the
+    # kernel's any-hit early exit, most blocks terminate after the
+    # first few occluder chunks instead of streaming the scene
+    md = jnp.mean(dirs, axis=0)
+    cent = (aabb[0:3] + aabb[3:6]) * 0.5
+    order = jnp.argsort(cent[0] * md[0] + cent[1] * md[1]
+                        + cent[2] * md[2])
+    packed = sd_trace_pallas_stream(tri_packed[order], aabb[:, order],
+                                    origins, dirs, tmin, tmax, vz,
+                                    0.0, 1.0, num_samples=1,
+                                    cull_back=False, early_exit=True,
+                                    classic=True)
     return packed[:, 0] != INVALID

@@ -106,17 +106,46 @@ def test_hits_subset_of_oracle_and_count(cornell_trace):
             assert np.min(np.abs(want - g)) < 2e-4 if len(want) else True
 
 
+@pytest.fixture(scope="module")
+def arcade_trace():
+    """Multi-chunk stream fixture: 1170 tris = 10 chunks of TC=128, so
+    superchunk grouping covers multiple REAL chunks per group and multiple
+    superchunks per block (the Cornell fixture is exactly 1 chunk — its
+    group>1 path only ever exercised the all-padding superchunk)."""
+    from rtsdm_tpu.scene.procedural import arcade
+    scene = arcade()
+    cam = scene.camera
+    origins, dirs, tmin, tmax, cosw = _rays(scene, n=512, seed=19)
+    tri_packed, aabb = rp.prep_triangles_packed(scene, True)
+    with interpret_mode(rp):
+        stm = np.asarray(rp.sd_trace_pallas_stream(
+            tri_packed, aabb, origins, dirs, tmin, tmax, cosw,
+            cam.near_z, cam.far_z, num_samples=4))
+    assert tri_packed.shape[0] >= 3 * 2  # >= 3 superchunks at group=2
+    assert (stm != rp.INVALID).any()
+    return dict(scene=scene, stm=stm,
+                rays=(origins, dirs, tmin, tmax, cosw))
+
+
+@pytest.mark.parametrize("fixture_name", ["cornell_trace", "arcade_trace"])
 @pytest.mark.parametrize("group,nslot,hit_gate", [(2, 4, True), (4, 8, True),
                                                   (1, 4, False)])
-def test_stream_group_and_gate_bitexact(cornell_trace, group, nslot,
+def test_stream_group_and_gate_bitexact(request, fixture_name, group, nslot,
                                         hit_gate):
-    """Superchunk grouping visits a SUPERSET of chunks in the same relative
-    order, and merging an all-miss chunk is the identity on the reservoir;
-    the any(ok_face) tail gate skips only identity merges. Both must be
-    bit-identical to the (group=1, gate-on) default. nslot only changes the
-    DMA pipeline depth, never the math."""
-    scene = cornell_trace["scene"]
-    _, _, _, _, origins, dirs, tmin, tmax, cosw = cornell_trace["args"]
+    """Superchunk grouping visits a SUPERSET of chunks (union super-AABBs
+    admit false-positive visits) in the same relative order, and merging an
+    all-miss chunk is the identity on the reservoir; the any(ok_face) tail
+    gate skips only identity merges. Both must be bit-identical to the
+    (group=1, gate-on) default. nslot only changes the DMA pipeline depth,
+    never the math. Runs on both the 1-chunk Cornell fixture (all-padding
+    superchunk path) and the 10-chunk Arcade fixture (multiple real chunks
+    per superchunk, multiple superchunks per list)."""
+    tr = request.getfixturevalue(fixture_name)
+    scene = tr["scene"]
+    if fixture_name == "cornell_trace":
+        _, _, _, _, origins, dirs, tmin, tmax, cosw = tr["args"]
+    else:
+        origins, dirs, tmin, tmax, cosw = tr["rays"]
     cam = scene.camera
     tri_packed, aabb = rp.prep_triangles_packed(scene, True)
     with interpret_mode(rp):
@@ -124,7 +153,32 @@ def test_stream_group_and_gate_bitexact(cornell_trace, group, nslot,
             tri_packed, aabb, origins, dirs, tmin, tmax, cosw,
             cam.near_z, cam.far_z, num_samples=4, group=group, nslot=nslot,
             hit_gate=hit_gate))
-    assert (got == cornell_trace["stm"]).all()
+    assert (got == tr["stm"]).all()
+
+
+def test_any_hit_classic_per_ray_origins(arcade_trace):
+    """any_hit_pallas routes through the classic-origin streaming tier:
+    rays with PER-RAY origins (the shadow-ray / ReSTIR contract) must match
+    the XLA oracle rt.any_hit — the old shared-origin routing evaluated
+    every ray from origins[0]."""
+    from rtsdm_tpu.ops import rt
+    scene = arcade_trace["scene"]
+    rng = np.random.default_rng(17)
+    n = 512
+    pts = np.asarray(scene.positions.reshape(-1, 3))
+    smin, smax = pts.min(0), pts.max(0)
+    origins = jnp.asarray(rng.uniform(smin, smax, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+    tmin = jnp.full((n,), 1e-3, jnp.float32)
+    tmax = jnp.asarray(rng.uniform(0.5, 60.0, n).astype(np.float32))
+    with interpret_mode(rp):
+        got = np.asarray(rp.any_hit_pallas(scene, origins, dirs, tmin, tmax,
+                                           alpha_test=False))
+    ref = np.asarray(rt.any_hit(scene, origins, dirs, tmin, tmax))
+    assert got.any() and not got.all()
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_kbuffer_mode_keeps_nearest(cornell_trace):

@@ -5,8 +5,10 @@ variants (group/nslot sweeps) without re-paying the 10-min scene build.
 Timing follows the CLAUDE.md rules: scan-amortized inside one jit with a
 per-step perturbation of a consumed input (tmin), 3-run median. Also checks
 each variant's packed output against the (group=1, nslot=4) baseline —
-grouping only reorders the chunk STREAM into the same total order, so the
-reservoir result must be bit-identical.
+grouping visits a SUPERSET of chunks (union super-AABBs admit
+false-positive visits) in the same relative order, and merging an all-miss
+chunk is the identity on the reservoir, so the result must still be
+bit-identical.
 
 Usage: python tools/sd_kernel_ab.py inputs.npz --variants 1x4 1x8 2x8 4x8 4x12
 """
@@ -72,6 +74,10 @@ def main():
 
     def run(g, n, s, **over):
         kw2 = dict(kw, **over)
+        # group/nslot are passed explicitly below: drop any captured values
+        # so future saved-input files that include them replay cleanly
+        kw2.pop("group", None)
+        kw2.pop("nslot", None)
         return rp.sd_trace_pallas_stream(tri, aabb, origins, dirs, tmin * s,
                                          tmax * s, vz, near, far,
                                          group=g, nslot=n, **kw2)
