@@ -343,7 +343,7 @@ def _sd_groups(tab):
     return tuple(groups)
 
 
-def _fetch_sd_kernel(k, nd, pad, gy, gx, groups,
+def _fetch_sd_kernel(kp, nd, pad, gy, gx, groups,
                      lvl_ref, sd_hbm, out_ref, scratch, sem):
     by = pl.program_id(0)
     bx = pl.program_id(1)
@@ -371,22 +371,83 @@ def _fetch_sd_kernel(k, nd, pad, gy, gx, groups,
     for d in range(nd):
         @pl.when(i == d)
         def _body(d=d):
-            big = scratch[...]                       # [k, rh, rw]
             for c in range(16):
                 lv = lvl_ref[0, c]
-                out_ref[0, c] = _select_chain(big, lv, groups[d][c])
+                # hoist the G group masks once per class, then run one 2D
+                # select chain per PACKED plane: the k-proportional select
+                # traffic was the kernel's whole cost (k=1 5.4 ms vs k=4
+                # 28.9 ms measured 2026-08-19), and [k,TH,TW] 3D slice
+                # selects lower worse than per-plane 2D chains
+                masks = []
+                for (lo, hi, _c2, y, x) in groups[d][c]:
+                    masks.append((lv == lo) if lo == hi
+                                 else (lv >= lo) & (lv <= hi))
+                for kk in range(kp):
+                    acc = None
+                    for (m, (lo, hi, _c2, y, x)) in zip(masks, groups[d][c]):
+                        sl = scratch[kk, y:y + TH, x:x + TW]
+                        acc = sl if acc is None else jnp.where(m, sl, acc)
+                    out_ref[0, c, kk] = acc
+
+
+def unpack_sd16(packed, kk):
+    """Layer kk of a 16-bit-pair packed SD plane set (fetch_sd_packed
+    output): [..., kp, h, w] int32 -> [..., h, w] float in [0, 1]. Pure
+    elementwise — fuses into the eval consumer, so the unpacked [nd, 16,
+    k, qh, qw] tensor never materializes (stacking it cost ~7 ms at 1080p,
+    measured 2026-08-19: 22.1 ms with the stack vs the kp-plane kernel's
+    ~15 ms)."""
+    p = packed[..., kk // 2, :, :]
+    v = (p & 0xFFFF) if kk % 2 == 0 else jax.lax.shift_right_logical(p, 16)
+    # true division (not reciprocal-multiply): fp32(n)/65535 is correctly
+    # rounded and therefore bit-equal to the grid value fp32(n/65535) the
+    # ray tier stored — reciprocal-multiply missed by 1 ulp on ~0.1% of
+    # texels (caught by test_phase2_shift_fused_matches_fallback)
+    return v.astype(jnp.float32) / 65535.0
 
 
 def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
                             pad):
+    """Unpacked-contract wrapper over fetch_sd_packed: returns [nd, 16, k,
+    qh, qw] float — entry [i] equals ao_shift.fetch_sd_direction(sd_map,
+    lvl_p_i, offs[i], guard, qh, qw, 4) up to 16-bit depth quantization
+    (bit-exact when the inputs sit on the 16-bit grid, i.e. for the ray SD
+    tier). Hot callers (svao_phase2_shift) use fetch_sd_packed +
+    unpack_sd16 directly so the unpack fuses into the eval."""
+    out = fetch_sd_packed(sd_map, guard, radius_px_q, levels, offs, radii,
+                          pad)
+    if out is None:
+        return None
+    k = sd_map.shape[-1]
+    nd = out.shape[0]
+    qh, qw = out.shape[-2:]
+    full = jnp.stack([unpack_sd16(out, kk) for kk in range(2 * out.shape[2])],
+                     axis=2)
+    return full[:, :, :k]
+
+
+def fetch_sd_packed(sd_map, guard, radius_px_q, levels, offs, radii, pad):
     """All-direction SD fetch, divisor=4 only. sd_map: [sd_h, sd_w, k]
-    guard-banded; returns [nd, 16, k, qh, qw] — entry [i] equals
-    ao_shift.fetch_sd_direction(sd_map, lvl_p_i, offs[i], guard, qh, qw, 4).
-    Caller falls back to the XLA tier for divisor 1/2."""
+    guard-banded NORMALIZED depths in [0, 1]; returns 16-bit-PAIR-packed
+    planes [nd, 16, ceil(k/2), qh, qw] int32 (layer 2j in bits 0-15 of
+    plane j, layer 2j+1 in bits 16-31) — see unpack_sd16. Caller falls
+    back to the XLA tier for divisor 1/2.
+
+    16-bit pair packing: the select-chain traffic is proportional to the
+    plane count, and the RAY SD tier already quantizes depths to 16 bits in
+    the reservoir pack (ops/rt.py _pack_key_depth) — so pairs of layers
+    ride one int32 plane through the chain (bit-exact for the ray tier,
+    <=1/65535 normalized-depth rounding for the raster tier; measured
+    k=4 28.9 -> 2-plane packed kernel, 2026-08-19)."""
     nd = len(offs)
     qh, qw = radius_px_q.shape[1:]
     k = sd_map.shape[-1]
-    sd_pl = jnp.moveaxis(sd_map, -1, 0)             # [k, sd_h, sd_w]
+    kp = (k + 1) // 2
+    d16 = jnp.clip(jnp.round(jnp.moveaxis(sd_map, -1, 0) * 65535.0),
+                   0.0, 65535.0).astype(jnp.int32)   # [k, sd_h, sd_w]
+    if k % 2:
+        d16 = jnp.concatenate([d16, jnp.zeros_like(d16[:1])], axis=0)
+    sd_pl = d16[0::2] | (d16[1::2] << 16)            # [kp, sd_h, sd_w]
     sd_h, sd_w = sd_pl.shape[1:]
     bounds = tuple(float(b) for b in
                    np.sqrt(np.asarray(levels[:-1], np.float64)
@@ -423,10 +484,10 @@ def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
     gy, gx = guard + lo_y, guard + lo_x
 
     nby, nbx = hp // TH, wp // TW
-    kernel = functools.partial(_fetch_sd_kernel, k, nd, pad, gy, gx, groups)
+    kernel = functools.partial(_fetch_sd_kernel, kp, nd, pad, gy, gx, groups)
     lvl_spec = pl.BlockSpec((1, 16, TH, TW), lambda j, l, i: (i, 0, j, l),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 16, k, TH, TW),
+    out_spec = pl.BlockSpec((1, 16, kp, TH, TW),
                             lambda j, l, i: (i, 0, 0, j, l),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -434,8 +495,8 @@ def fetch_sd_all_directions(sd_map, guard, radius_px_q, levels, offs, radii,
         grid=(nby, nbx, nd),
         in_specs=[lvl_spec, pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nd, 16, k, hp, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, rh, rw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nd, 16, kp, hp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((kp, rh, rw), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],
     )(lvl, sd_pad)
     return out[..., :qh, :qw]

@@ -34,7 +34,8 @@ INVALID = 2**31 - 1  # python int: a jnp constant would be captured by the kerne
 COVERAGE_MAX_K = 5  # select-chain mask decode bound (2^k selects per chunk)
 
 
-def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry):
+def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry,
+               tail_bound=True):
     """Shared insertion tail for the SD kernels: fold this chunk's accepted
     hits into the reservoir carry (reference algorithm(),
     Common.slangh:102-254; semantics per ops/rt.py:sd_trace).
@@ -97,17 +98,49 @@ def _hash_tail(mode, k, max_count, alpha, ok, ok_face, u, v, d_norm, carry):
                                jnp.int32(INVALID))
         else:
             packed = jnp.where(ok, k15 * 65536 + d16, jnp.int32(INVALID))
-        best = []
-        for _ in range(k):
-            m = jnp.min(packed, axis=1, keepdims=True)
-            best.append(m)
-            packed = jnp.where(packed == m, jnp.int32(INVALID), packed)
-        both = jnp.concatenate(list(slots) + best, axis=1)
-        out = []
-        for _ in range(k):
-            m = jnp.min(both, axis=1, keepdims=True)
-            out.append(m)
-            both = jnp.where(both == m, jnp.int32(INVALID), both)
+
+        def extract_full(slots):
+            pk = packed
+            best = []
+            for _ in range(k):
+                m = jnp.min(pk, axis=1, keepdims=True)
+                best.append(m)
+                pk = jnp.where(pk == m, jnp.int32(INVALID), pk)
+            both = jnp.concatenate(list(slots) + best, axis=1)
+            out = []
+            for _ in range(k):
+                m = jnp.min(both, axis=1, keepdims=True)
+                out.append(m)
+                both = jnp.where(both == m, jnp.int32(INVALID), both)
+            return tuple(out)
+
+        def insert_one(slots):
+            # <=1 accepted hit per ray in this chunk: one lane-min extracts
+            # the candidate, a k-step sorted trickle inserts it — replaces
+            # 2k full [RB,TC]/[RB,2k] extraction rounds. Slot values are
+            # strictly increasing until INVALID and duplicate values merge
+            # (the full path invalidates ALL equal copies per round), so
+            # dedup the candidate against the slots first.
+            v = jnp.min(packed, axis=1, keepdims=True)
+            dup = slots[0] == v
+            for s in slots[1:]:
+                dup = dup | (s == v)
+            v = jnp.where(dup, jnp.int32(INVALID), v)
+            out = []
+            for s in slots:
+                out.append(jnp.minimum(s, v))
+                v = jnp.maximum(s, v)
+            return tuple(out)
+
+        if tail_bound and k > 1:
+            # most hit visits accept exactly one lane per ray (tight ray
+            # intervals); bound the extraction rounds by the actual max
+            # per-ray hit count — exact, see insert_one
+            nhit = jnp.max(jnp.sum(ok.astype(jnp.int32), axis=1))
+            out = jax.lax.cond(nhit <= 1, insert_one, extract_full,
+                               tuple(slots))
+        else:
+            out = extract_full(tuple(slots))
     if count is not None:
         return tuple(out) + (count,)
     return tuple(out)
@@ -140,7 +173,8 @@ def shared_origin_rows(v0t, e1t, e2t, origin):
 def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
                         d3, tmin, tmax, za, zb,
                         n3, b3, c3, tp,
-                        acc_back, reject, amask, carry, hit_gate=False):
+                        acc_back, reject, amask, carry, hit_gate=False,
+                        tail_bound=True):
     """Per-chunk intersection + reservoir fold, shared-origin form.
 
     d3 = (dx, dy, dz) ray-direction broadcasts [RB, TC]; n3/b3/c3 are
@@ -194,7 +228,7 @@ def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
 
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
         return _hash_tail(mode, k, max_count, alpha, okh, ok_face, u, v,
-                          d_norm, carry)
+                          d_norm, carry, tail_bound=tail_bound)
 
     if not hit_gate:
         return tail(carry)
@@ -204,7 +238,8 @@ def _shared_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
 def _classic_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
                          o3, d3, tmin, tmax, za, zb,
                          v0, e1, e2,
-                         acc_back, reject, amask, carry, hit_gate=False):
+                         acc_back, reject, amask, carry, hit_gate=False,
+                         tail_bound=True):
     """Per-chunk intersection + reservoir fold, classic Möller-Trumbore with
     PER-RAY origins (o3 = (ox, oy, oz) [RB, 1] columns). Used by the any-hit
     paths (RayShadow.ps.slang:131-186, ReSTIR visibility) whose rays start
@@ -253,7 +288,7 @@ def _classic_origin_math(k, eps_det, cull_back, mode, max_count, alpha,
         okh = ok_face & (abit > 0)
         d_norm = jnp.clip(t * za - zb, 0.0, 1.0)
         return _hash_tail(mode, k, max_count, alpha, okh, ok_face, u, v,
-                          d_norm, carry)
+                          d_norm, carry, tail_bound=tail_bound)
 
     if not hit_gate:
         return tail(carry)
@@ -446,8 +481,8 @@ LIST_CAP = 512  # per-block chunk-list bound for the top_k compaction; the
 
 def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                       mode, max_count, alpha, group, nslot, hit_gate,
-                      classic,
-                      count_ref, list_ref,
+                      classic, tail_bound, ray_gate,
+                      count_ref, list_ref, aabb_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmin_ref, tmax_ref, za_ref, zb_ref,
                       tri_hbm, *rest):
@@ -456,15 +491,25 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
     bc = lambda r: jnp.broadcast_to(jnp.reshape(r[...], (RB, 1)), (RB, TC))
     d3 = (bc(dx_ref), bc(dy_ref), bc(dz_ref))
     col0 = lambda r: jnp.reshape(r[...], (RB, 1))
-    if classic:
-        # per-ray origins feed the classic M-T form
-        o3 = (col0(ox_ref), col0(oy_ref), col0(oz_ref))
-    else:
-        # ox/oy/oz unused in the shared-origin math (kept in the ray-column
-        # layout for the XLA-side chunk-list builder's segment bounds)
-        del ox_ref, oy_ref, oz_ref
+    o3 = (col0(ox_ref), col0(oy_ref), col0(oz_ref))
     tmin, tmax = col0(tmin_ref), col0(tmax_ref)
     za, zb = col0(za_ref), col0(zb_ref)
+
+    if ray_gate:
+        # per-ray slab precompute for the chunk-AABB gate: exact (a
+        # triangle inside the chunk AABB hit at t implies t lies in the
+        # ray's slab interval) but measured a 20 ms LOSS at SunTemple-full
+        # (2026-08-19: gate on 62.4 ms vs off 42.4 — the per-visit SMEM
+        # scalar reads + lax.cond stall the DMA-overlapped visit loop far
+        # more than the skipped Moller-Trumbore saves). Default OFF; kept
+        # as a knob for scenes with much emptier visit streams.
+        def _safe_inv(r):
+            d = jnp.reshape(r[...], (RB, 1))
+            mag = jnp.maximum(jnp.abs(d), 1e-12)
+            return 1.0 / jnp.where(d >= 0.0, mag, -mag)
+
+        inv3 = (_safe_inv(dx_ref), _safe_inv(dy_ref), _safe_inv(dz_ref))
+        seg_valid = tmax > tmin
 
     raw = count_ref[0, 0, 0]
     # overflow fallback: a block overlapping more chunks than the list can
@@ -494,7 +539,7 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                     tri[o + 6:o + 9],                             # e2
                     tri[o + 9:o + 10], tri[o + 10:o + 11],
                     tri[o + 11:o + 12].astype(jnp.int32), carry,
-                    hit_gate=hit_gate)
+                    hit_gate=hit_gate, tail_bound=tail_bound)
             else:
                 o = g * PACK_ROWS
                 carry = _shared_origin_math(
@@ -506,7 +551,7 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
                     tri[o + 9:o + 10],                            # tp = t*det
                     tri[o + 10:o + 11], tri[o + 11:o + 12],
                     tri[o + 12:o + 13].astype(jnp.int32), carry,
-                    hit_gate=hit_gate)
+                    hit_gate=hit_gate, tail_bound=tail_bound)
         return carry
 
     init = tuple(jnp.full((RB, 1), INVALID, jnp.int32) for _ in range(k))
@@ -529,7 +574,26 @@ def _sd_stream_kernel(k, eps_det, cull_back, early_exit, n_chunks,
             get_dma((j + (nslot - 1)) % nslot, j + (nslot - 1)).start()
 
         get_dma(slot, j).wait()
-        return chunk_math(carry, scratch[slot])
+        if not ray_gate:
+            return chunk_math(carry, scratch[slot])
+        ci = jnp.where(full, j,
+                       list_ref[0, 0, jnp.minimum(j, list_ref.shape[-1] - 1)])
+        tn = jnp.full((RB, 1), -jnp.inf)
+        tf = jnp.full((RB, 1), jnp.inf)
+        for c, (o_c, inv_c) in enumerate(zip(o3, inv3)):
+            a = (aabb_ref[0, c, ci] - o_c) * inv_c
+            b = (aabb_ref[0, 3 + c, ci] - o_c) * inv_c
+            tn = jnp.maximum(tn, jnp.minimum(a, b))
+            tf = jnp.minimum(tf, jnp.maximum(a, b))
+        # relative slack: extremal triangle vertices lie ON the AABB faces,
+        # so fp rounding in tn/tf must never reject a boundary hit —
+        # over-accepting only costs a redundant visit
+        tol = 4e-6 * (1.0 + jnp.abs(tn) + jnp.abs(tf))
+        hitq = seg_valid & (tn <= tf + tol) & (tf > tmin - tol) \
+            & (tn < tmax + tol)
+        return jax.lax.cond(jnp.any(hitq),
+                            lambda c: chunk_math(c, scratch[slot]),
+                            lambda c: c, carry)
 
     if early_exit and k == 1:
         # any-hit mode: stop streaming once every ray in the block has a
@@ -616,17 +680,40 @@ def pad_tile(a, fill=0.0):
     return a, (h, w)
 
 
-def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
+SUB_BUNDLES = 1  # segment-AABB granularity inside a ray block: sub > 1
+                 # tests per 32-ray strips and ORs. Hardware A/B 2026-08-19
+                 # (388k rays, 2526 chunks): sub=1 47.8 ms, sub=8 47.9,
+                 # sub=32 48.1 — strip boxes are as fat as the tile box
+                 # (the spread comes from the shared tmin/tmax interval
+                 # range, not geometry across the tile), so the default
+                 # stays 1. The knob remains for divergent-ray callers.
+                 # Exactness either way: a triangle inside a chunk AABB
+                 # cannot intersect a segment whose strip box misses that
+                 # AABB, so dropped visits are identity merges.
+
+
+def build_chunk_lists(aabb, origins, dirs, tmin, tmax, sub: int | None = None,
+                      rx=None, ry=None):
     """Per-ray-block compacted overlapping-chunk lists (the 'TLAS walk',
-    vectorized in XLA): aabb [8, n_chunks] (rows 0-2 min, 3-5 max).
-    Returns (lists [nb, n_chunks] int32 padded with 0, counts [nb])."""
+    vectorized in XLA): aabb [8+, n_chunks] (rows 0-2 min, 3-5 max; rows
+    6-11, when present with rx/ry, are the SCREEN cull block — see
+    chunk_screen_rows). Returns (lists [nb, n_chunks] int32 padded with 0,
+    counts [nb]). sub: sub-bundles per block for the overlap test (see
+    SUB_BUNDLES). rx/ry: per-ray SD-texel coordinates (signed grid) — with
+    a shared-origin pinhole fan the chunk's projected screen footprint and
+    its origin-distance range cull far tighter than the world-space box
+    test (the bundle box fattens with t-range x cone angle)."""
+    sub = SUB_BUNDLES if sub is None else sub
+    assert RB % sub == 0
     r = origins.shape[0]
     rp = r + ((-r) % RB)
     nb = rp // RB
+    ns = nb * sub
     n_chunks = aabb.shape[1]
 
     def blk(a, fill=0.0):
-        return jnp.pad(a, (0, rp - r), constant_values=fill).reshape(nb, RB)
+        return jnp.pad(a, (0, rp - r), constant_values=fill) \
+            .reshape(ns, RB // sub)
 
     tmin_b, tmax_b = blk(tmin), blk(tmax, fill=-1.0)
     valid = tmax_b > tmin_b
@@ -641,10 +728,31 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
         los.append(lo)
         his.append(hi)
 
-    overlap = jnp.ones((nb, n_chunks), bool)
+    overlap_s = jnp.ones((ns, n_chunks), bool)
     for c in range(3):
-        overlap &= (aabb[c][None, :] <= his[c][:, None]) \
+        overlap_s &= (aabb[c][None, :] <= his[c][:, None]) \
             & (aabb[3 + c][None, :] >= los[c][:, None])
+
+    if rx is not None and aabb.shape[0] >= 12:
+        def rng(a):
+            ab = blk(a)
+            lo = jnp.where(valid, ab, jnp.inf).min(axis=1)
+            hi = jnp.where(valid, ab, -jnp.inf).max(axis=1)
+            return lo, hi
+
+        bx0, bx1 = rng(rx)
+        by0, by1 = rng(ry)
+        bt0 = jnp.where(valid, tmin_b, jnp.inf).min(axis=1)
+        bt1 = jnp.where(valid, tmax_b, -jnp.inf).max(axis=1)
+        # rows: 6 x0, 7 y0, 8 dmin (min-unioned) | 9 x1, 10 y1, 11 dmax
+        overlap_s &= (aabb[6][None, :] <= bx1[:, None]) \
+            & (aabb[9][None, :] >= bx0[:, None]) \
+            & (aabb[7][None, :] <= by1[:, None]) \
+            & (aabb[10][None, :] >= by0[:, None]) \
+            & (aabb[8][None, :] <= bt1[:, None]) \
+            & (aabb[11][None, :] >= bt0[:, None])
+
+    overlap = overlap_s.reshape(nb, sub, n_chunks).any(axis=1)
 
     counts = overlap.sum(axis=1).astype(jnp.int32)
     # scatter-free compaction: top_k of (n_chunks - idx | 0) yields the
@@ -678,14 +786,17 @@ def build_chunk_lists(aabb, origins, dirs, tmin, tmax):
                                              "early_exit", "mode",
                                              "max_count", "alpha",
                                              "group", "nslot", "hit_gate",
-                                             "classic"))
+                                             "classic", "sub", "tail_bound",
+                                             "ray_gate"))
 def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
                            vz_scale, near, far, *, num_samples: int = 4,
                            cull_back: bool = True, early_exit: bool = False,
                            mode: str = "default", max_count: int | None = None,
                            alpha: float = 0.2, group: int | None = None,
                            nslot: int | None = None, hit_gate: bool = True,
-                           classic: bool = False):
+                           classic: bool = False, sub: int | None = None,
+                           tail_bound: bool = True, ray_gate: bool = False,
+                           rx=None, ry=None):
     """Streaming variant of sd_trace_pallas: tri_packed [n_chunks, PACK_ROWS,
     TC] stays in HBM; each ray block DMA-streams only the chunks whose AABB
     overlaps its segment bundle. Same reservoir semantics and packed-int32
@@ -694,7 +805,9 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
     group: morton-consecutive chunks per list entry / DMA (superchunk; see
     SD_GROUP). nslot: DMA pipeline depth. Defaults = module constants.
     classic: tri_packed holds PACK_ROWS_CLASSIC raw rows (pack_for_stream_
-    classic) and rays may have PER-RAY origins — the any-hit contract."""
+    classic) and rays may have PER-RAY origins — the any-hit contract.
+    rx/ry: per-ray signed SD-texel coordinates — enables the pinhole-fan
+    screen cull when aabb carries chunk_screen_rows (rows 6-11)."""
     group = SD_GROUP if group is None else group
     nslot = NSLOT if nslot is None else nslot
     pack_rows = PACK_ROWS_CLASSIC if classic else PACK_ROWS
@@ -709,19 +822,27 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
         if gpad:
             # padding chunks are all-zero rows: det == 0 rejects every lane
             tri_packed = jnp.pad(tri_packed, ((0, gpad), (0, 0), (0, 0)))
-            # empty AABB (min=+inf, max=-inf) never overlaps a segment
+            # empty AABB (min=+inf, max=-inf) never overlaps a segment;
+            # screen rows 6:9/9:12 union with min/max, so pad +inf/-inf too
+            nrow = aabb.shape[0]
             pad_cols = jnp.concatenate(
                 [jnp.full((3, gpad), jnp.inf), jnp.full((3, gpad), -jnp.inf),
-                 jnp.zeros((aabb.shape[0] - 6, gpad), aabb.dtype)], axis=0)
+                 jnp.full((min(3, nrow - 6), gpad), jnp.inf),
+                 jnp.full((max(nrow - 9, 0), gpad), -jnp.inf)], axis=0)
             aabb = jnp.concatenate([aabb, pad_cols], axis=1)
         n_super = aabb.shape[1] // group
         sg = aabb.reshape(aabb.shape[0], n_super, group)
-        aabb = jnp.concatenate([sg[:3].min(-1), sg[3:6].max(-1),
-                                sg[6:].max(-1)], axis=0)
+        parts = [sg[:3].min(-1), sg[3:6].max(-1)]
+        if aabb.shape[0] >= 12:
+            parts += [sg[6:9].min(-1), sg[9:12].max(-1)]
+        else:
+            parts += [sg[6:].max(-1)]
+        aabb = jnp.concatenate(parts, axis=0)
         tri_packed = tri_packed.reshape(n_super, group * pack_rows, TC)
         n_chunks = n_super
 
-    lists, counts = build_chunk_lists(aabb, origins, dirs, tmin, tmax)
+    lists, counts = build_chunk_lists(aabb, origins, dirs, tmin, tmax,
+                                      sub=sub, rx=rx, ry=ry)
     lw = lists.shape[1]
     lp = lw + ((-lw) % 8)
     lists = jnp.pad(lists, ((0, 0), (0, lp - lw)))
@@ -740,11 +861,14 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
 
     kernel = functools.partial(_sd_stream_kernel, k, 1e-9, cull_back,
                                early_exit, n_chunks, mode, max_count, alpha,
-                               group, nslot, hit_gate, classic)
+                               group, nslot, hit_gate, classic, tail_bound,
+                               ray_gate)
     count_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)
     list_spec = pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM)
+    aabb_spec = pl.BlockSpec((1, aabb.shape[0], n_chunks),
+                             lambda i: (0, 0, 0), memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((1, 1, RB), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -754,15 +878,86 @@ def sd_trace_pallas_stream(tri_packed, aabb, origins, dirs, tmin, tmax,
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[count_spec, list_spec] + [ray_spec] * 10 + [tri_spec],
+        in_specs=[count_spec, list_spec, aabb_spec] + [ray_spec] * 10
+        + [tri_spec],
         out_specs=tuple([out_spec] * k),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32)
                         for _ in range(k)),
         scratch_shapes=[pltpu.VMEM((nslot, group * pack_rows, TC),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA((nslot,))],
-    )(counts[:, None, None], lists[:, None, :], *cols, tri_packed)
+    )(counts[:, None, None], lists[:, None, :], aabb[None], *cols,
+      tri_packed)
     return jnp.stack([o.reshape(rp) for o in outs], axis=1)[:r]
+
+
+def chunk_screen_rows(aabb, origin, cam_u, cam_v, cam_w, dim_w, dim_h):
+    """Screen-footprint + origin-distance rows for the pinhole-fan cull
+    (build_chunk_lists rows 6-11): for each chunk AABB, the rect of signed
+    SD-texel coords its projection can touch and its [dmin, dmax] euclidean
+    distance range from the shared origin.
+
+    Exact-conservative: a linear-fractional screen coordinate attains its
+    extrema over a convex box at the CORNERS (given every corner is
+    strictly in front, r.w > 0 — otherwise the rect is set infinite), the
+    texel that samples a point at screen position p*dim is in
+    [p*dim - 1, p*dim] (sub-texel jitter in [0, 1], Jitter.slangh:27), and
+    any hit point inside the box lies at euclidean distance in [dmin, dmax]
+    from the origin (SD rays are unit-direction, so ray t IS distance).
+    Margins: 0.5 texel + relative slack swamp fp rounding of the corner
+    projections.
+
+    Returns [6, n_chunks]: (x0, y0, dmin, x1, y1, dmax)."""
+    nc = aabb.shape[1]
+    lo, hi = aabb[0:3], aabb[3:6]                    # [3, nc]
+    o = jnp.reshape(origin, (3, 1))
+    uu = jnp.sum(cam_u * cam_u)
+    vv = jnp.sum(cam_v * cam_v)
+    ww = jnp.sum(cam_w * cam_w)
+
+    px0 = jnp.full((nc,), jnp.inf)
+    px1 = jnp.full((nc,), -jnp.inf)
+    py0 = jnp.full((nc,), jnp.inf)
+    py1 = jnp.full((nc,), -jnp.inf)
+    wmin = jnp.full((nc,), jnp.inf)
+    for m in range(8):
+        corner = jnp.stack([jnp.where((m >> c) & 1, hi[c], lo[c])
+                            for c in range(3)])      # [3, nc]
+        rel = corner - o
+        a = (rel[0] * cam_u[0] + rel[1] * cam_u[1] + rel[2] * cam_u[2]) / uu
+        b = (rel[0] * cam_v[0] + rel[1] * cam_v[1] + rel[2] * cam_v[2]) / vv
+        w = (rel[0] * cam_w[0] + rel[1] * cam_w[1] + rel[2] * cam_w[2]) / ww
+        wmin = jnp.minimum(wmin, w)
+        ws = jnp.maximum(w, 1e-12)
+        ndc_x = a / ws
+        ndc_y = b / ws
+        sx = (ndc_x + 1.0) * 0.5 * dim_w             # p.x * dim_w
+        sy = (1.0 - ndc_y) * 0.5 * dim_h
+        px0 = jnp.minimum(px0, sx)
+        px1 = jnp.maximum(px1, sx)
+        py0 = jnp.minimum(py0, sy)
+        py1 = jnp.maximum(py1, sy)
+
+    big = jnp.float32(3e38)
+    front = wmin > 1e-9
+    x0 = jnp.where(front, px0 - 1.5, -big)
+    x1 = jnp.where(front, px1 + 0.5, big)
+    y0 = jnp.where(front, py0 - 1.5, -big)
+    y1 = jnp.where(front, py1 + 0.5, big)
+
+    # euclidean distance range from the origin to the box
+    gap = jnp.maximum(jnp.maximum(lo - o, o - hi), 0.0)
+    dmin = jnp.sqrt(jnp.sum(gap * gap, axis=0))
+    far = jnp.maximum(jnp.abs(lo - o), jnp.abs(hi - o))
+    dmax = jnp.sqrt(jnp.sum(far * far, axis=0))
+    dmin = dmin * (1.0 - 1e-5)
+    dmax = dmax * (1.0 + 1e-5) + 1e-5
+    # empty (padding) chunks: min == +big in the box rows -> keep their
+    # screen rows never-overlapping too
+    empty = aabb[0] > 1e37
+    x0 = jnp.where(empty, big, x0)
+    x1 = jnp.where(empty, -big, x1)
+    return jnp.stack([x0, y0, dmin, x1, y1, dmax])
 
 
 def pack_for_stream(v0t, e1t, e2t, flags, origin):

@@ -152,6 +152,14 @@ class StochasticDepthMapRT(RenderPass):
             if stream:
                 tri_packed, aabb = rp.prep_triangles_packed(
                     ctx.scene, bool(self.cfg["AlphaTest"]))
+                # pinhole-fan screen cull: chunk footprint rect in SD-texel
+                # coords + origin-distance range (chunk_screen_rows) — far
+                # tighter than the world box test for a shared-origin fan
+                scr = rp.chunk_screen_rows(aabb, origin, cam.camera_u,
+                                           cam.camera_v, cam.camera_w,
+                                           dim_w, dim_h)
+                aabb = jnp.concatenate([aabb[:6], scr], axis=0)
+
                 # 8x32-tile ray order: each kernel block covers a compact
                 # texel tile -> tight segment AABBs -> few chunk visits
                 def tf(x2d, fill=0.0):
@@ -166,7 +174,8 @@ class StochasticDepthMapRT(RenderPass):
                     tf(dirs), tf(tmin), tf(tmax, fill=-1.0), tf(cos_w),
                     cam.near_z, cam.far_z, num_samples=k,
                     cull_back=(self.cfg["CullMode"] == "Back"),
-                    mode=impl, max_count=max_count, alpha=alpha)
+                    mode=impl, max_count=max_count, alpha=alpha,
+                    rx=tf(signed[..., 0]), ry=tf(signed[..., 1]))
                 packed = rp.tile_unflatten(packed, ph, pw)[
                     :sd_h, :sd_w].reshape(-1, k)
             else:

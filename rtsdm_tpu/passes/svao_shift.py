@@ -178,84 +178,89 @@ def _use_fused_fetch():
     return FUSED_FETCH == "on"
 
 
-def _sample_dir(cam, cfg, b, depth_pp, pad, offs_i, levels, r_frac, alpha,
-                depth2_pp=None, fetched_pre=None, fetched2_pre=None):
-    """One ring direction: quantized fetch + sphere-slab sample data.
-    Returns dict of planes. fetched_pre/fetched2_pre: [16,qh,qw] planes from
-    the fused all-direction Pallas fetch (ops/fetch_pallas.py) — bit-identical
-    to the per-direction scan below, HBM traffic /(nd*L)."""
-    hp, wp = b["hp"], b["wp"]
-    qh, qw = hp // 4, wp // 4
+_BQ_KEYS = ("depth", "radius", "radius_px", "valid", "px", "py", "pz",
+            "pos_len")
+
+
+def _deint_b(b):
+    """Deinterleave the per-pixel basic-init planes once: all downstream
+    math is elementwise (layout-free), and in deinterleaved space the
+    per-direction screen directions and the dither rotation are per-CLASS
+    CONSTANTS, so the whole ring loop runs on [16, qh, qw] planes with
+    exactly one quarter->full interleave per OUTPUT — the per-direction
+    full-res broadcast chains were phase 1's non-fetch cost."""
+    bq = {k: S.deinterleave(b[k]) for k in _BQ_KEYS}
+    for k in ("n", "a", "no"):
+        bq[k] = tuple(S.deinterleave(x) for x in b[k])
+    bq["sx"], bq["sy"] = b["sx"], b["sy"]
+    bq["y_origin"] = b["y_origin"]
+    return bq
+
+
+def _class_grids(qh, qw, y_origin):
+    """Per-class full-res pixel coordinates in deinterleaved space:
+    full (y, x) = (4*qy + cy + y_origin, 4*qx + cx)."""
+    cyc = jnp.asarray(np.arange(16, dtype=np.float32) // 4).reshape(16, 1, 1)
+    cxc = jnp.asarray(np.arange(16, dtype=np.float32) % 4).reshape(16, 1, 1)
+    xg_q = 4.0 * jax.lax.broadcasted_iota(jnp.float32, (16, qh, qw), 2) + cxc
+    yg_q = (4.0 * jax.lax.broadcasted_iota(jnp.float32, (16, qh, qw), 1)
+            + cyc + y_origin)
+    return xg_q, yg_q
+
+
+def _sample_dir_q(cfg, bq, xg_q, yg_q, levels, r_frac, alpha,
+                  fetched_q, fetched2_q=None):
+    """_sample_dir in deinterleaved space: every plane is [16, qh, qw] and
+    the fetched planes come straight from the fused Pallas fetch (or the
+    XLA fetch_direction) with NO interleave. Same math, same fp ops —
+    deint(f(x)) == f(deint(x)) for the elementwise chain (bit-exactness
+    locked by tests/test_svao.py shift-tier tests)."""
     w, h = cfg.resolution
-
-    m_i = b["radius_px"] * r_frac
-    lvl = A.shift_level_index(levels, m_i)
-    lvl_p = S.deinterleave(lvl)
-    if fetched_pre is not None:
-        fetched = S.interleave(fetched_pre, hp, wp)
-    else:
-        fetched = S.interleave(S.fetch_direction(depth_pp, pad, lvl_p, offs_i,
-                                                 qh, qw), hp, wp)
+    lvl = A.shift_level_index(levels, bq["radius_px"] * r_frac)
     r_eff = S.level_radius(levels, lvl)
-    ux_m, uy_m = S.class_dir_maps(cfg, alpha, hp, wp)
-    off_x = jnp.rint(r_eff * ux_m)
-    off_y = jnp.rint(r_eff * uy_m)
+    ux_c, uy_c = _class_consts(None, alpha)
+    off_x = jnp.rint(r_eff * ux_c)
+    off_y = jnp.rint(r_eff * uy_c)
 
-    r_disc = jnp.minimum(r_eff / jnp.maximum(b["radius_px"], 1e-4), 0.999) \
-        * b["radius"]
+    r_disc = jnp.minimum(r_eff / jnp.maximum(bq["radius_px"], 1e-4), 0.999) \
+        * bq["radius"]
     same_pix = (off_y == 0.0) & (off_x == 0.0)
-    xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + b["y_origin"]
-    sxp = xg + off_x
-    syp = yg + off_y
+    sxp = xg_q + off_x
+    syp = yg_q + off_y
     in_screen = (sxp >= 0) & (sxp < w) & (syp >= 0) & (syp < h)
     uqx = (jnp.clip(sxp, 0, w - 1) + 0.5) / w
     uqy = (jnp.clip(syp, 0, h - 1) + 0.5) / h
 
-    sphere_h = jnp.sqrt(jnp.maximum(b["radius"] ** 2 - r_disc ** 2, 1e-12))
+    sphere_h = jnp.sqrt(jnp.maximum(bq["radius"] ** 2 - r_disc ** 2, 1e-12))
     if cfg.kernel == AO_KERNEL_VAO:
         pdf = 2.0 * sphere_h
     else:
         pdf = jnp.full_like(sphere_h, 0.9 * (1.0 - r_frac) ** 1.5)
-    no_x, no_y, no_z = b["no"]
+    no_x, no_y, no_z = bq["no"]
     dxy_x = r_disc * math.sin(alpha)
     dxy_y = r_disc * math.cos(alpha)
     z_int = -(dxy_x * no_x + dxy_y * no_y) / A.make_nonzero(no_z, 1e-4)
     s_end = jnp.clip(z_int, -sphere_h, sphere_h)
     valid = (sphere_h - s_end) / (2.0 * sphere_h) > 0.1
-    sample_len = jnp.sqrt(b["pos_len"] ** 2 + r_disc ** 2)
 
-    co = _sample_coeffs(b, uqx, uqy)
-
-    def eval_layer(d_tex):
-        """addSample from a fetched depth plane (Common.slang:463-505) —
-        affine-in-depth form (see _sample_coeffs)."""
-        return _eval_depth_affine(cfg, b, co, d_tex, sphere_h, s_end, pdf)
-
-    vis, oz = eval_layer(fetched)
+    co = _sample_coeffs(bq, uqx, uqy)
+    vis, oz = _eval_depth_affine(cfg, bq, co, fetched_q, sphere_h, s_end,
+                                 pdf)
     vis2 = oz2 = None
-    if fetched2_pre is not None:
-        f2 = S.interleave(fetched2_pre, hp, wp)
-        v2, o2 = eval_layer(f2)
-        if cfg.kernel == AO_KERNEL_VAO:
-            vis2, oz2 = jnp.minimum(vis, v2), jnp.minimum(oz, o2)
-        else:
-            vis2, oz2 = jnp.maximum(vis, v2), jnp.minimum(oz, o2)
-    elif depth2_pp is not None:
-        f2 = S.interleave(S.fetch_direction(depth2_pp, pad, lvl_p, offs_i,
-                                            qh, qw), hp, wp)
-        v2, o2 = eval_layer(f2)
+    if fetched2_q is not None:
+        v2, o2 = _eval_depth_affine(cfg, bq, co, fetched2_q, sphere_h,
+                                    s_end, pdf)
         if cfg.kernel == AO_KERNEL_VAO:
             vis2, oz2 = jnp.minimum(vis, v2), jnp.minimum(oz, o2)
         else:
             vis2, oz2 = jnp.maximum(vis, v2), jnp.minimum(oz, o2)
 
-    return dict(lvl=lvl, lvl_p=lvl_p, r_eff=r_eff, r_disc=r_disc,
+    return dict(lvl=lvl, r_eff=r_eff, r_disc=r_disc,
                 off_x=off_x, off_y=off_y, same_pix=same_pix,
-                in_screen=in_screen, uqx=uqx, uqy=uqy,
+                in_screen=in_screen,
                 sphere_start=sphere_h, sphere_end=s_end, pdf=pdf,
-                valid=valid, sample_len=sample_len, ss_radius=r_eff,
-                vis=vis, oz=oz, vis2=vis2, oz2=oz2, fetched=fetched)
+                valid=valid, ss_radius=r_eff,
+                vis=vis, oz=oz, vis2=vis2, oz2=oz2)
 
 
 def _require_ray(cfg, b, s, oz):
@@ -292,25 +297,27 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
             if (hp, wp) != (h, w) else depth2
         depth2_pp = S.pad_planes(S.deinterleave(d2), pad)
     nd = cfg.num_directions
+    qh, qw = hp // 4, wp // 4
+
+    bq = _deint_b(b)
+    xg_q, yg_q = _class_grids(qh, qw, y_origin)
 
     # interior mask in GLOBAL screen coords: off-band replicate rows (band
     # halo beyond the screen) must not contribute stencil/interval splats
-    yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) + y_origin
-    xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    interior = ((xx >= guard) & (xx < w_full - guard)
-                & (yy >= guard) & (yy < h_full - guard))
+    interior = ((xg_q >= guard) & (xg_q < w_full - guard)
+                & (yg_q >= guard) & (yg_q < h_full - guard))
 
-    bright = jnp.zeros((hp, wp))
-    dark = jnp.zeros((hp, wp))
-    stencil = jnp.zeros((hp, wp), jnp.uint32)
-    pix_rmin = jnp.full((hp, wp), A.FLT_MAX)
-    pix_rmax = jnp.zeros((hp, wp))
+    bright = jnp.zeros((16, qh, qw))
+    dark = jnp.zeros((16, qh, qw))
+    stencil = jnp.zeros((16, qh, qw), jnp.uint32)
+    pix_rmin = jnp.full((16, qh, qw), A.FLT_MAX)
+    pix_rmax = jnp.zeros((16, qh, qw))
 
     fetch_pre = fetch2_pre = [None] * nd
     if _use_fused_fetch():
         from ..ops.fetch_pallas import fetch_all_directions
         sets = [depth_pp] + ([depth2_pp] if dual else [])
-        fa = fetch_all_directions(sets, pad, S.deinterleave(b["radius_px"]),
+        fa = fetch_all_directions(sets, pad, bq["radius_px"],
                                   levels, offs, radii)
         fetch_pre = list(fa[0])
         if dual:
@@ -318,12 +325,25 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
 
     for i in range(nd):
         alpha = (i / nd) * 2.0 * 3.141
-        s = _sample_dir(cam, cfg, b, depth_pp, pad, offs[i], levels,
-                        float(radii[i]), alpha, depth2_pp,
-                        fetched_pre=fetch_pre[i], fetched2_pre=fetch2_pre[i])
+        if fetch_pre[i] is not None:
+            fq = fetch_pre[i]
+        else:
+            lvl_q = A.shift_level_index(levels,
+                                        bq["radius_px"] * float(radii[i]))
+            fq = S.fetch_direction(depth_pp, pad, lvl_q, offs[i], qh, qw)
+        f2q = None
+        if dual:
+            f2q = (fetch2_pre[i] if fetch2_pre[i] is not None
+                   else S.fetch_direction(depth2_pp, pad,
+                                          A.shift_level_index(
+                                              levels, bq["radius_px"]
+                                              * float(radii[i])),
+                                          offs[i], qh, qw))
+        s = _sample_dir_q(cfg, bq, xg_q, yg_q, levels, float(radii[i]),
+                          alpha, fq, f2q)
         vis, oz = s["vis"], s["oz"]
         if dual:
-            need2 = _require_ray(cfg, b, s, oz)
+            need2 = _require_ray(cfg, bq, s, oz)
             vis = jnp.where(need2, s["vis2"], vis)
             oz = jnp.where(need2, s["oz2"], oz)
 
@@ -343,19 +363,19 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
             force_ray = force_ray | off
             oz_int = jnp.where(off, A.FLT_MAX, oz)  # SVAORaster.ps.slang:75-79
 
-        need = (_require_ray(cfg, b, s, oz) | force_ray)
-        need = need & s["valid"] & ~s["same_pix"] & b["valid"] & interior
+        need = (_require_ray(cfg, bq, s, oz) | force_ray)
+        need = need & s["valid"] & ~s["same_pix"] & bq["valid"] & interior
         stencil = stencil | jnp.where(need, jnp.uint32(1 << i), jnp.uint32(0))
 
         if secondary == DEPTH_MODE_STOCHASTIC:
             if cfg.kernel == AO_KERNEL_VAO:
                 oz_min = jnp.minimum(
-                    oz_int, b["radius"] + cfg.thickness * b["radius"]
+                    oz_int, bq["radius"] + cfg.thickness * bq["radius"]
                     + s["sphere_start"])
             else:
                 oz_min = jnp.minimum(oz_int, s["sphere_start"])
-            rmin_v = jnp.maximum(b["pos_len"] - oz_min, 0.0)
-            rmax_v = jnp.maximum(b["pos_len"] - s["sphere_end"], 0.0)
+            rmin_v = jnp.maximum(bq["pos_len"] - oz_min, 0.0)
+            rmax_v = jnp.maximum(bq["pos_len"] - s["sphere_end"], 0.0)
             if not use_ray_interval:
                 rmin_v = jnp.zeros_like(rmin_v)
                 rmax_v = jnp.ones_like(rmax_v)
@@ -367,13 +387,15 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
         dark = dark + jnp.where(s["same_pix"] & s["valid"], same_contrib, 0.0)
 
     def crop(a):
-        return a[:h, :w]
+        return S.interleave(a, hp, wp)[:h, :w]
 
     scale = (2.0 if cfg.kernel == AO_KERNEL_VAO else 1.0) / nd
     bright = crop(bright) * scale
     dark = crop(dark) * scale
     stencil = crop(stencil)
-    bg = ~crop(b["valid"])
+    pix_rmin = crop(pix_rmin)
+    pix_rmax = crop(pix_rmax)
+    bg = ~b["valid"][:h, :w]
     bright = jnp.where(bg, 1.0, bright)
     stencil = jnp.where(bg, 0, stencil)
 
@@ -384,7 +406,7 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
         sd_h = cfg.low_resolution[1] + 2 * cfg.sd_guard
     if secondary == DEPTH_MODE_STOCHASTIC:
         ray_min, ray_max = _intervals_to_sd_grid(
-            cfg, crop(b["radius_px"]), crop(pix_rmin), crop(pix_rmax),
+            cfg, b["radius_px"][:h, :w], pix_rmin, pix_rmax,
             sd_h, sd_w)
     else:
         ray_min = jnp.full((sd_h, sd_w), A.FLT_MAX)
@@ -398,11 +420,97 @@ def svao_phase1_shift(cam, cfg, depth, depth2, normal_v, guard, primary,
     return dict(ao_raw=ao_raw, stencil=stencil, ray_min=ray_min, ray_max=ray_max)
 
 
+def _class_consts(offs_unused, alpha):
+    """Per-dither-class screen-direction constants for one ring direction,
+    shaped [16, 1, 1] for deinterleaved-space broadcasting (the tiled
+    full-res maps of ao_shift.class_dir_maps collapse to one scalar per
+    class)."""
+    thetas = S.class_angles()
+    ux = np.zeros((16, 1, 1), np.float32)
+    uy = np.zeros((16, 1, 1), np.float32)
+    for c in range(16):
+        x, y = S.screen_dir(alpha, float(thetas[c]))
+        ux[c, 0, 0], uy[c, 0, 0] = x, y
+    return jnp.asarray(ux), jnp.asarray(uy)
+
+
+def _sd_eval_deint(cfg, bq, sd_p, s, jqx, jqy,
+                   xg_q, yg_q, divisor, low_w, low_h, depth_range, near_z,
+                   k=None, packed16=False):
+    """The phase-2 k-layer SD visibility eval, fully DEINTERLEAVED
+    (calcAO2's stochastic-depth branch, Common.slang:562-597).
+
+    Everything the eval needs is either elementwise in the per-pixel planes
+    (layout-free: deint(f(x)) == f(deint(x))) or a per-class CONSTANT in
+    deinterleaved space (screen directions, dither rotation) — so the whole
+    eval runs on [16, qh, qw] planes and only the final reduced visibility
+    interleaves back to full res. The previous full-res formulation paid
+    nd*k quarter->full interleave transposes plus full-res broadcast chains:
+    measured 32.8 of phase 2's 37.4 ms at 1080p (tools/phase2_profile.py,
+    2026-08-19).
+
+    bq: dict of deinterleaved b-planes; sd_p: [16, k, qh, qw] fetched SD
+    slots (XLA fallback) or, with packed16=True, [16, ceil(k/2), qh, qw]
+    int32 16-bit pairs (ops/fetch_pallas.fetch_sd_packed — the unpack
+    fuses into the eval here instead of materializing [nd, 16, k, qh, qw]);
+    s: the _sample_dir_q dict of this direction (shared ring geometry).
+    Returns vis_sd [16, qh, qw]: min (VAO) / max (HBAO) over the k layers."""
+    if k is None:
+        k = sd_p.shape[1]
+    off_x, off_y = s["off_x"], s["off_y"]
+    ss, se, pdf = s["sphere_start"], s["sphere_end"], s["pdf"]
+    radius_q = bq["radius"]
+    plen = bq["pos_len"]
+
+    # SD sample uv (Common.slang:569): texel + jitter over lowRes. The 4x4
+    # jitter tiles over QUARTER coords, so it is class-independent here.
+    tex_x = jnp.floor((xg_q + off_x) / float(divisor))
+    tex_y = jnp.floor((yg_q + off_y) / float(divisor))
+    suv_x = (tex_x + jqx) / low_w
+    suv_y = (tex_y + jqy) / low_h
+    cxs = (2.0 * suv_x - 1.0) * bq["sx"]
+    cys = (1.0 - 2.0 * suv_y) * bq["sy"]
+    ax, ay, az = bq["a"]
+    oz_a = cxs * ax + cys * ay - az
+    if cfg.kernel != AO_KERNEL_VAO:
+        nx, ny, nz = bq["n"]
+        px, py, pz = bq["px"], bq["py"], bq["pz"]
+        qa = cxs * cxs + cys * cys + 1.0
+        qb = -2.0 * (cxs * px + cys * py - pz)
+        na = nx * cxs + ny * cys - nz
+        np_ = nx * px + ny * py + nz * pz
+
+    acc = None
+    for kk in range(k):
+        if packed16:
+            from ..ops.fetch_pallas import unpack_sd16
+            sd_val = unpack_sd16(sd_p, kk)
+        else:
+            sd_val = sd_p[:, kk]
+        lin = sd_val * depth_range + near_z
+        if cfg.kernel == AO_KERNEL_VAO:
+            oz = lin * oz_a + plen
+            v_k = _visibility_vao(cfg, oz, ss, se, pdf, radius_q)
+            acc = v_k if acc is None else jnp.minimum(acc, v_k)
+        else:
+            vv = jnp.maximum((lin * qa + qb) * lin + plen * plen, 1e-12)
+            ndotv = (lin * na - np_) / jnp.sqrt(vv)
+            angle = jnp.clip(ndotv - 0.1, 0.0, 1.0)
+            dist = jnp.clip(1.0 - vv / (cfg.radius * cfg.radius), 0.0, 1.0)
+            v_k = jnp.clip(angle * dist / pdf, 0.0, 1.0)
+            acc = v_k if acc is None else jnp.maximum(acc, v_k)
+    return acc
+
+
 def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
                       primary, sd_jitter=True, divisor=4, y_origin: int = 0):
     """Stochastic-depth resolve, shift mode (calcAO2, Common.slang:523-663).
     stochMapDivisor must be in {1,2,4} (strided-slice SD fetch); the caller
     falls back to the gather path otherwise.
+
+    The SD-layer visibility eval runs fully deinterleaved (_sd_eval_deint);
+    only the reduced per-direction visibility interleaves back to full res
+    where it folds into the primary-layer eval and the stencil-masked delta.
 
     Band mode (y_origin != 0): depth/stencil are a row band whose first row
     is global row y_origin, and sd_map is the band-local SD map whose row
@@ -427,74 +535,61 @@ def svao_phase2_shift(cam, cfg, depth, depth2, normal_v, stencil, sd_map,
 
     nd = cfg.num_directions
     qh, qw = hp // 4, wp // 4
-    k = sd_map.shape[-1]
     g = cfg.sd_guard
     depth_range = cam.far_z - cam.near_z
     low_w, low_h = cfg.low_resolution
 
     stencil_pd = jnp.pad(stencil, ((0, hp - h), (0, wp - w))) \
         if (hp, wp) != (h, w) else stencil
+    stencil_q = S.deinterleave(stencil_pd)
 
-    xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + y_origin
+    bq = _deint_b(b)
+    xg_q, yg_q = _class_grids(qh, qw, y_origin)
     jit_q = S.tiled_jitter(qh, qw, sd_jitter)
-    jit_x = jnp.repeat(jnp.repeat(jit_q[..., 0], 4, axis=0), 4, axis=1)
-    jit_y = jnp.repeat(jnp.repeat(jit_q[..., 1], 4, axis=0), 4, axis=1)
+    jqx, jqy = jit_q[..., 0], jit_q[..., 1]
 
     fetch_pre = [None] * nd
     sd_pre = None
+    k_sd = sd_map.shape[-1]
     if _use_fused_fetch():
-        from ..ops.fetch_pallas import (fetch_all_directions,
-                                        fetch_sd_all_directions)
-        rq = S.deinterleave(b["radius_px"])
+        from ..ops.fetch_pallas import fetch_all_directions, fetch_sd_packed
+        rq = bq["radius_px"]
         fa = fetch_all_directions([layer_pp], pad, rq, levels, offs, radii)
         fetch_pre = list(fa[0])
         if divisor == 4:
-            sd_pre = fetch_sd_all_directions(sd_map, g, rq, levels, offs,
-                                             radii, pad)
+            sd_pre = fetch_sd_packed(sd_map, g, rq, levels, offs,
+                                     radii, pad)
 
-    delta = jnp.zeros((hp, wp))
+    delta_q = jnp.zeros((16, qh, qw))
     for i in range(nd):
-        bit = ((stencil_pd >> i) & 1).astype(bool)
+        bit = ((stencil_q >> i) & 1).astype(bool)
         alpha = (i / nd) * 2.0 * 3.141
-        s = _sample_dir(cam, cfg, b, layer_pp, pad, offs[i], levels,
-                        float(radii[i]), alpha, None,
-                        fetched_pre=fetch_pre[i])
+        lvl_q = A.shift_level_index(levels, bq["radius_px"] * float(radii[i]))
+        fq = (fetch_pre[i] if fetch_pre[i] is not None
+              else S.fetch_direction(layer_pp, pad, lvl_q, offs[i], qh, qw))
+        s = _sample_dir_q(cfg, bq, xg_q, yg_q, levels, float(radii[i]),
+                          alpha, fq)
         old_vis = s["vis"]
         if cfg.kernel == AO_KERNEL_VAO:
             vis = jnp.where(s["in_screen"], s["vis"], 1.0)
         else:
             vis = jnp.where(s["in_screen"], s["vis"], 0.0)
-        oz = jnp.where(s["in_screen"], s["oz"], A.FLT_MAX)
 
         sd_p = (sd_pre[i] if sd_pre is not None
-                else S.fetch_sd_direction(sd_map, s["lvl_p"], offs[i], g,
+                else S.fetch_sd_direction(sd_map, lvl_q, offs[i], g,
                                           qh, qw, divisor))  # [16,k,qh,qw]
-        sd_layers = [S.interleave(sd_p[:, kk], hp, wp) for kk in range(k)]
-        # sd sample uv (Common.slang:569): texel + jitter over lowRes
-        tex_x = jnp.floor((xg + s["off_x"]) / float(divisor))
-        tex_y = jnp.floor((yg + s["off_y"]) / float(divisor))
-        suv_x = (tex_x + jit_x) / low_w
-        suv_y = (tex_y + jit_y) / low_h
-
-        # all k SD layers evaluate through the depth-affine coefficients at
-        # the (per-direction) SD sample uv: ~12 ops per layer instead of a
-        # full UVToViewSpace + dot-product chain (see _sample_coeffs)
-        co_sd = _sample_coeffs(b, suv_x, suv_y)
-        for kk in range(k):
-            lin = sd_layers[kk] * depth_range + cam.near_z
-            v_k, oz_k = _eval_depth_affine(cfg, b, co_sd, lin,
-                                           s["sphere_start"], s["sphere_end"],
-                                           s["pdf"])
-            if cfg.kernel == AO_KERNEL_VAO:
-                vis = jnp.minimum(vis, v_k)
-            else:
-                vis = jnp.maximum(vis, v_k)
-            oz = jnp.minimum(oz, oz_k)
-        delta = delta + jnp.where(bit, vis - old_vis, 0.0)
+        vis_sd = _sd_eval_deint(cfg, bq, sd_p, s, jqx, jqy, xg_q, yg_q,
+                                divisor, low_w, low_h, depth_range,
+                                cam.near_z, k=k_sd,
+                                packed16=sd_pre is not None)
+        if cfg.kernel == AO_KERNEL_VAO:
+            vis = jnp.minimum(vis, vis_sd)
+        else:
+            vis = jnp.maximum(vis, vis_sd)
+        delta_q = delta_q + jnp.where(bit, vis - old_vis, 0.0)
 
     scale = (2.0 if cfg.kernel == AO_KERNEL_VAO else 1.0) / nd
-    delta = delta[:h, :w] * scale
+    delta = S.interleave(delta_q, hp, wp)[:h, :w] * scale
     if cfg.dual_ao:
         delta = jnp.stack([delta, jnp.zeros_like(delta)], -1)
     return delta

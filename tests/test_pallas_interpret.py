@@ -156,6 +156,45 @@ def test_stream_group_and_gate_bitexact(request, fixture_name, group, nslot,
     assert (got == tr["stm"]).all()
 
 
+@pytest.mark.parametrize("fixture_name", ["cornell_trace", "arcade_trace"])
+def test_stream_screen_cull_and_ray_gate_bitexact(request, fixture_name):
+    """The pinhole-fan screen cull (chunk_screen_rows + rx/ry) and the
+    in-kernel per-ray slab gate only drop visits that cannot contribute —
+    the reservoir must be bit-identical to the ungated baseline."""
+    tr = request.getfixturevalue(fixture_name)
+    scene = tr["scene"]
+    if fixture_name == "cornell_trace":
+        _, _, _, _, origins, dirs, tmin, tmax, cosw = tr["args"]
+    else:
+        origins, dirs, tmin, tmax, cosw = tr["rays"]
+    cam = scene.camera
+    res = 256
+    # recover the pixel coords the fixture's rays were built from:
+    # _rays uses jitter=0.5, so signed = p*res - 0.5; chunk_screen_rows'
+    # [-1.5, +0.5] texel margin covers the 0.5 offset
+    uu = jnp.sum(cam.camera_u * cam.camera_u)
+    vv = jnp.sum(cam.camera_v * cam.camera_v)
+    ww = jnp.sum(cam.camera_w * cam.camera_w)
+    au = jnp.sum(dirs * cam.camera_u, -1) / uu
+    av = jnp.sum(dirs * cam.camera_v, -1) / vv
+    aw = jnp.sum(dirs * cam.camera_w, -1) / ww
+    rx = (au / aw + 1.0) * 0.5 * res - 0.5
+    ry = (1.0 - av / aw) * 0.5 * res - 0.5
+    tri_packed, aabb = rp.prep_triangles_packed(scene, True)
+    scr = rp.chunk_screen_rows(aabb, origins[0], cam.camera_u, cam.camera_v,
+                               cam.camera_w, res, res)
+    aabb12 = jnp.concatenate([aabb[:6], scr], axis=0)
+    with interpret_mode(rp):
+        got = np.asarray(rp.sd_trace_pallas_stream(
+            tri_packed, aabb12, origins, dirs, tmin, tmax, cosw,
+            cam.near_z, cam.far_z, num_samples=4, rx=rx, ry=ry))
+        ungated = np.asarray(rp.sd_trace_pallas_stream(
+            tri_packed, aabb, origins, dirs, tmin, tmax, cosw,
+            cam.near_z, cam.far_z, num_samples=4, ray_gate=False))
+    assert (got == tr["stm"]).all()
+    assert (ungated == tr["stm"]).all()
+
+
 def test_any_hit_classic_per_ray_origins(arcade_trace):
     """any_hit_pallas routes through the classic-origin streaming tier:
     rays with PER-RAY origins (the shadow-ray / ReSTIR contract) must match
@@ -363,7 +402,10 @@ def test_fused_dir_fetch_matches_fetch_direction():
 
 
 def test_fused_sd_fetch_matches_fetch_sd_direction():
-    """fetch_sd_all_directions (divisor 4) == fetch_sd_direction, bit-exact."""
+    """fetch_sd_all_directions (divisor 4) == fetch_sd_direction, bit-exact
+    on 16-bit-grid depths (the ray SD tier's native quantization — the
+    kernel packs layer pairs into int32 planes; raster-tier inputs off the
+    grid round by <= 0.5/65535, covered by the tolerance case below)."""
     import rtsdm_tpu.ops.fetch_pallas as FP
     import rtsdm_tpu.ops.ao_shift as S
     import rtsdm_tpu.ops.ao as A
@@ -372,9 +414,10 @@ def test_fused_sd_fetch_matches_fetch_sd_direction():
     h, w = 64, 128
     qh, qw = h // 4, w // 4
     guard, k = 24, 4
-    sd_map = jnp.asarray(rng.uniform(0.0, 50.0, (qh + 2 * guard,
-                                                 qw + 2 * guard, k))
-                         .astype(np.float32))
+    # normalized depths ON the 16-bit grid (what decode_packed produces)
+    sd_map = jnp.asarray(
+        (rng.integers(0, 65536, (qh + 2 * guard, qw + 2 * guard, k))
+         .astype(np.float32) / 65535.0))
     radius_px = jnp.asarray(rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
 
     class Cfg:
@@ -395,6 +438,65 @@ def test_fused_sd_fetch_matches_fetch_sd_direction():
                                                    radius_px * radii[i]))
         ref = S.fetch_sd_direction(sd_map, lvl_p, offs[i], guard, qh, qw, 4)
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+
+    # off-grid (raster-tier) inputs: quantization bounded by 0.5/65535
+    sd_c = jnp.asarray(rng.uniform(0.0, 1.0, sd_map.shape)
+                       .astype(np.float32))
+    with interpret_mode(FP):
+        got_c = FP.fetch_sd_all_directions(sd_c, guard, rq, levels, offs,
+                                           radii, pad)
+    lvl_p = S.deinterleave(A.shift_level_index(levels, radius_px * radii[0]))
+    ref_c = S.fetch_sd_direction(sd_c, lvl_p, offs[0], guard, qh, qw, 4)
+    assert np.abs(np.asarray(got_c[0]) - np.asarray(ref_c)).max() \
+        <= 0.5 / 65535.0 + 1e-7
+
+
+def test_phase2_shift_fused_matches_fallback():
+    """svao_phase2_shift with the fused Pallas fetches (packed16 SD path)
+    == the XLA fallback tier, bit-exact on 16-bit-grid SD maps (the ray SD
+    tier's native output grid)."""
+    from unittest import mock as _mock
+
+    from rtsdm_tpu.passes import svao_shift as ph
+    from rtsdm_tpu.passes.gbuffer import raster_gbuffer
+    from rtsdm_tpu.passes.svao import SVAO, _normals_to_view
+    from rtsdm_tpu.rendergraph.render_pass import RenderContext
+    from rtsdm_tpu.utils.math import (encode_normal_2x16, normalize,
+                                      transform_vector)
+    import rtsdm_tpu.ops.fetch_pallas as FP
+
+    w = h = 96
+    scene = cornell_box()
+    cam = scene.camera
+    g = raster_gbuffer(scene, w, h)
+    lin = cam.linearize_depth(g["depth"])
+    nv_in = encode_normal_2x16(normalize(
+        transform_vector(cam.view_mat, g["faceNormalW"])))
+    p = SVAO({"secondaryDepthMode": "StochasticDepth",
+              "stochasticDepthImpl": "Ray", "radius": 0.5,
+              "stochMapDivisor": 4, "stochMapGuardBand": 64,
+              "exponent": 2.0})
+    p.set_scene(scene)
+    ctx = RenderContext(width=w, height=h, scene=scene,
+                        dictionary={"guardBand": 0})
+    cfg = p._vao_cfg(ctx, (w, h))
+    nv = _normals_to_view(ctx, nv_in)
+    p1 = ph.svao_phase1_shift(cam, cfg, lin, lin, nv, 0, "SingleDepth",
+                              "StochasticDepth")
+    sw, sh = p._stoch_map_size((w, h))
+    rng = np.random.default_rng(7)
+    sd_map = jnp.asarray(np.sort(
+        rng.integers(0, 65536, (sh, sw, 4)), axis=-1)
+        .astype(np.float32) / 65535.0)
+
+    ref = ph.svao_phase2_shift(cam, cfg, lin, lin, nv, p1["stencil"],
+                               sd_map, "SingleDepth")
+    with interpret_mode(FP), \
+            _mock.patch.object(ph, "FUSED_FETCH", "on"):
+        got = ph.svao_phase2_shift(cam, cfg, lin, lin, nv, p1["stencil"],
+                                   sd_map, "SingleDepth")
+    assert np.abs(np.asarray(ref)).max() > 0.0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_warp_kernel_matches_xla_resample():

@@ -98,39 +98,29 @@ def main():
     out["full_ms"] = round(scan_time(p2), 2)
     print("full:", out["full_ms"], flush=True)
 
-    # (b) stub the k-layer affine eval (keeps fetch + interleave + coeffs)
-    def stub_eval(cfg_, b_, co_, z_, ss_, se_, pdf_):
-        return jnp.zeros_like(z_), jnp.full_like(z_, 3.4e38)
+    # (b) stub the deinterleaved SD-layer eval (keeps the fused SD fetch —
+    # the stub consumes sd_p so the fetch kernel is NOT dead-code-eliminated)
+    def stub_eval(cfg_, bq_, sd_p_, lvl_q_, *rest, **kw_):
+        return sd_p_[:, 0].astype(jnp.float32) * 0.0 + 1e9
 
-    with mock.patch.object(ph, "_eval_depth_affine", stub_eval):
+    with mock.patch.object(ph, "_sd_eval_deint", stub_eval):
         out["no_layer_eval_ms"] = round(scan_time(p2), 2)
     print("no_layer_eval:", out["no_layer_eval_ms"], flush=True)
 
-    # (c) + stub the per-(dir,layer) quarter->full interleave
-    import rtsdm_tpu.ops.ao_shift as S
-
-    def stub_interleave(planes, h, w):
-        r = planes[0, 0] if planes.ndim == 4 else planes[0]
-        return jnp.repeat(jnp.repeat(r, 4, axis=0), 4, axis=1)[:h, :w]
-
-    with mock.patch.object(ph.S, "interleave", stub_interleave), \
-            mock.patch.object(ph, "_eval_depth_affine", stub_eval):
-        out["no_eval_no_interleave_ms"] = round(scan_time(p2), 2)
-    print("no_eval_no_interleave:", out["no_eval_no_interleave_ms"],
-          flush=True)
-
-    # (d) + stub the fused Pallas SD fetch (isolates its kernel cost)
+    # (c) + stub the fused Pallas SD fetch too (everything SD-related dead)
     from rtsdm_tpu.ops import fetch_pallas as fp
     nd = cfg.num_directions
 
     def stub_fetch_sd(sd, guard, rq, levels, offs, radii, pad):
         qh, qw = rq.shape[1], rq.shape[2]
-        one = jnp.zeros((16, sd.shape[-1], qh, qw), sd.dtype)
-        return [one] * nd
+        kp = (sd.shape[-1] + 1) // 2
+        return jnp.zeros((nd, 16, kp, qh, qw), jnp.int32)
 
-    with mock.patch.object(ph, "_eval_depth_affine", stub_eval), \
-            mock.patch.object(ph.S, "interleave", stub_interleave), \
-            mock.patch.object(fp, "fetch_sd_all_directions", stub_fetch_sd):
+    def stub_eval_dead(cfg_, bq_, sd_p_, lvl_q_, *rest, **kw_):
+        return jnp.full(sd_p_.shape[:1] + sd_p_.shape[2:], 1e9)
+
+    with mock.patch.object(ph, "_sd_eval_deint", stub_eval_dead), \
+            mock.patch.object(fp, "fetch_sd_packed", stub_fetch_sd):
         out["no_sd_at_all_ms"] = round(scan_time(p2), 2)
     print("no_sd_at_all:", out["no_sd_at_all_ms"], flush=True)
 

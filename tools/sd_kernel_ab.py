@@ -60,12 +60,24 @@ def main():
                          "min-only tail: no invalidation rounds)")
     ap.add_argument("--gates", action="store_true",
                     help="A/B the any(ok_face) tail gate")
+    ap.add_argument("--subs", nargs="+", type=int, default=[],
+                    help="A/B chunk-list sub-bundle granularities")
+    ap.add_argument("--tails", action="store_true",
+                    help="A/B the hit-count-bounded extraction tail")
+    ap.add_argument("--raygates", action="store_true",
+                    help="A/B the in-kernel per-ray slab gate")
+    ap.add_argument("--screen", action="store_true",
+                    help="A/B the pinhole screen cull (capture must carry "
+                         "rx/ry + 12-row aabb)")
     a = ap.parse_args()
 
     from rtsdm_tpu.ops import rt_pallas as rp
 
     d = np.load(a.npz, allow_pickle=False)
     kw = json.loads(str(d["kw"]))
+    for key in d.files:
+        if key.startswith("kwarr_"):
+            kw[key[len("kwarr_"):]] = jnp.asarray(d[key])
     tri, aabb = jnp.asarray(d["tri_packed"]), jnp.asarray(d["aabb"])
     origins, dirs = jnp.asarray(d["origins"]), jnp.asarray(d["dirs"])
     tmin, tmax, vz = (jnp.asarray(d["tmin"]), jnp.asarray(d["tmax"]),
@@ -84,7 +96,9 @@ def main():
 
     base = jax.block_until_ready(run(1, 4, 1.0))
     out = {"chunks": int(tri.shape[0]), "rays": int(dirs.shape[0]),
-           "kw": kw, "variants": {}}
+           "kw": {m: v for m, v in kw.items() if not hasattr(v, "shape")},
+           "kw_arrays": [m for m in kw if hasattr(kw[m], "shape")],
+           "variants": {}}
     for v in a.variants:
         g, n = (int(x) for x in v.split("x"))
         got = jax.block_until_ready(run(g, n, 1.0))
@@ -109,6 +123,39 @@ def main():
             out["variants"][f"gate_{gate}"] = {"ms": round(ms, 2),
                                                "exact_vs_base": exact}
             print(f"hit_gate={gate}: {ms:.2f} ms exact={exact}", flush=True)
+    for sb in a.subs:
+        got = jax.block_until_ready(run(1, 4, 1.0, sub=sb))
+        exact = bool(jnp.array_equal(got, base))
+        ms = scan_time(lambda s, sb=sb: run(1, 4, s, sub=sb).sum())
+        out["variants"][f"sub{sb}"] = {"ms": round(ms, 2),
+                                       "exact_vs_base": exact}
+        print(f"sub={sb}: {ms:.2f} ms exact={exact}", flush=True)
+    if a.tails:
+        for tb in (False, True):
+            got = jax.block_until_ready(run(1, 4, 1.0, tail_bound=tb))
+            exact = bool(jnp.array_equal(got, base))
+            ms = scan_time(lambda s, tb=tb: run(1, 4, s,
+                                                tail_bound=tb).sum())
+            out["variants"][f"tail_bound_{tb}"] = {"ms": round(ms, 2),
+                                                   "exact_vs_base": exact}
+            print(f"tail_bound={tb}: {ms:.2f} ms exact={exact}", flush=True)
+    if a.raygates:
+        for rg in (False, True):
+            got = jax.block_until_ready(run(1, 4, 1.0, ray_gate=rg))
+            exact = bool(jnp.array_equal(got, base))
+            ms = scan_time(lambda s, rg=rg: run(1, 4, s, ray_gate=rg).sum())
+            out["variants"][f"ray_gate_{rg}"] = {"ms": round(ms, 2),
+                                                 "exact_vs_base": exact}
+            print(f"ray_gate={rg}: {ms:.2f} ms exact={exact}", flush=True)
+    if a.screen:
+        for sc in (False, True):
+            over = {} if sc else {"rx": None, "ry": None}
+            got = jax.block_until_ready(run(1, 4, 1.0, **over))
+            exact = bool(jnp.array_equal(got, base))
+            ms = scan_time(lambda s, over=over: run(1, 4, s, **over).sum())
+            out["variants"][f"screen_{sc}"] = {"ms": round(ms, 2),
+                                               "exact_vs_base": exact}
+            print(f"screen={sc}: {ms:.2f} ms exact={exact}", flush=True)
     print(json.dumps(out), flush=True)
 
 

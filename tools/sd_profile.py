@@ -121,14 +121,22 @@ def main():
 
     if a.save_inputs:
         import numpy as _np
+        extra = {}
+        scalars = {}
+        for m, v in kw.items():
+            if callable(v):
+                continue
+            if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0:
+                extra["kwarr_" + m] = _np.asarray(v)   # e.g. rx/ry
+            else:
+                scalars[m] = v
         _np.savez_compressed(
             a.save_inputs, tri_packed=_np.asarray(tri_packed),
             aabb=_np.asarray(aabb), origins=_np.asarray(origins),
             dirs=_np.asarray(dirs), tmin=_np.asarray(tmin),
             tmax=_np.asarray(tmax), vz=_np.asarray(vz),
             near=float(near), far=float(far),
-            kw=_np.asarray(json.dumps({m: kw[m] for m in kw
-                                       if not callable(kw[m])})))
+            kw=_np.asarray(json.dumps(scalars)), **extra)
         print(f"saved kernel inputs -> {a.save_inputs}", flush=True)
 
     # average live chunk-list length (diagnostic)
