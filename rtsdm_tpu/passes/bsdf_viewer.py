@@ -31,10 +31,16 @@ class BSDFViewer(RenderPass):
                   # scene material's IMaterial type (HairChiang16.slang,
                   # ClothBRDF.slang); here the family is a viewer option
                   # evaluated through ops/bsdf_extra.py
-                  bsdf="Standard",  # "Standard" | "Cloth" | "HairChiang16"
+                  # "Standard" | "Cloth" | "HairChiang16" | "MERL" |
+                  # "PBRTDiffuse" | "PBRTConductor" | "PBRTDielectric"
+                  # (measured + PBRT families: ops/bsdf_measured.py)
+                  bsdf="Standard",
                   clothF0=(0.04, 0.04, 0.04),
                   hairSigmaA=(0.42, 0.7, 1.37), hairBetaM=0.3, hairBetaN=0.3,
-                  hairH=0.3, hairAlpha=0.035)
+                  hairH=0.3, hairAlpha=0.035,
+                  merlPath="",  # empty -> procedural synthetic table
+                  pbrtEta=(0.2, 0.92, 1.1), pbrtK=(3.9, 2.45, 2.14),  # gold
+                  pbrtIoR=1.5)
 
     def reflect(self, ctx):
         return PassReflection().add_output("output")
@@ -91,6 +97,25 @@ class BSDFViewer(RenderPass):
                              float(self.cfg["hairBetaN"]), local(wo),
                              local(wi), h=float(self.cfg["hairH"]),
                              alpha=float(self.cfg["hairAlpha"]))
+        if fam == "MERL":
+            from ..ops import bsdf_measured as M
+            if getattr(self, "_merl_table", None) is None:
+                path = str(self.cfg["merlPath"])
+                self._merl_table = (M.load_merl(path) if path
+                                    else M.synthetic_merl())
+            return M.eval_merl(self._merl_table, n, wo, wi)
+        if fam == "PBRTDiffuse":
+            from ..ops.bsdf_measured import eval_pbrt_diffuse
+            return eval_pbrt_diffuse(albedo, n, wo, wi)
+        if fam == "PBRTConductor":
+            from ..ops.bsdf_measured import eval_pbrt_conductor
+            eta = jnp.asarray(self.cfg["pbrtEta"], jnp.float32)
+            k = jnp.asarray(self.cfg["pbrtK"], jnp.float32)
+            return eval_pbrt_conductor(eta, k, rough, n, wo, wi)
+        if fam == "PBRTDielectric":
+            from ..ops.bsdf_measured import eval_pbrt_dielectric
+            return eval_pbrt_dielectric(float(self.cfg["pbrtIoR"]), rough,
+                                        n, wo, wi)
         f_cos, _ = _eval_bsdf(albedo, rough, n, wo, wi)
         return f_cos
 

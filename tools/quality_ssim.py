@@ -18,7 +18,7 @@ The Raytraced reference mode runs through the brute-force XLA interval query,
 so configs use the small scene tier at REAL resolutions (the SD kernels are
 validated at reference scale separately, tools/pallas_parity.py).
 
-Usage: python tools/quality_ssim.py  (writes QUALITY_r04.json)
+Usage: python tools/quality_ssim.py  (writes QUALITY_r05.json)
 """
 import json
 import os
@@ -89,6 +89,14 @@ def run_config(c):
                       "stochMapDivisor": c["divisor"]})
     ray_ref = svao({"secondaryDepthMode": "Raytraced",
                     "maxRayBudgetFraction": 1.0})
+    # TexLOD alpha-test stand-in on trial (VERDICT r4 next #4): the baked
+    # per-triangle alpha bitmap vs no alpha test at all bounds how much
+    # alpha even matters at this foliage tier; the residual error of the
+    # bake vs exact per-hit texture sampling is a subset of that delta
+    ray_sd_noalpha = svao({"secondaryDepthMode": "StochasticDepth",
+                           "stochasticDepthImpl": "Ray",
+                           "stochMapDivisor": c["divisor"],
+                           "stochMapGuardBand": 512, "alphaTest": False})
     if c["impl"] == "Raster":
         primary_sd = raster_sd
     else:
@@ -117,6 +125,8 @@ def run_config(c):
         "ssim_raster_sd_vs_raytraced": s(raster_sd, ray_ref),
         "ssim_config_impl_vs_raytraced": s(primary_sd, ray_ref),
         "ssim_ray_sd_vs_rtao64": s(ray_sd, rtao_acc),
+        "ssim_alpha_mask_vs_noalpha": s(ray_sd, ray_sd_noalpha),
+        "ssim_noalpha_vs_raytraced": s(ray_sd_noalpha, ray_ref),
         "mean_abs_diff_ray_sd_vs_raytraced":
             round(float(np.abs(ray_sd - ray_ref).mean()), 5),
     }
@@ -224,7 +234,7 @@ def main():
         and report["configs"]["config5_shaded_taa_stability"]
             ["mean_frame_ssim"] >= 0.9)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QUALITY_r04.json")
+        os.path.abspath(__file__))), "QUALITY_r05.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "configs"}))
