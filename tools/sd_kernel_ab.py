@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--screen", action="store_true",
                     help="A/B the pinhole screen cull (capture must carry "
                          "rx/ry + 12-row aabb)")
+    ap.add_argument("--rbs", nargs="+", type=int, default=[],
+                    help="A/B rays-per-block (monkeypatches rp.RB; exact-"
+                         "ness may differ only through reservoir selection "
+                         "order, which is block-independent -> exact)")
     a = ap.parse_args()
 
     from rtsdm_tpu.ops import rt_pallas as rp
@@ -147,6 +151,18 @@ def main():
             out["variants"][f"ray_gate_{rg}"] = {"ms": round(ms, 2),
                                                  "exact_vs_base": exact}
             print(f"ray_gate={rg}: {ms:.2f} ms exact={exact}", flush=True)
+    for rb in a.rbs:
+        rb0 = rp.RB
+        rp.RB = rb
+        try:
+            got = jax.block_until_ready(run(1, 4, 1.0))
+            exact = bool(jnp.array_equal(got, base))
+            ms = scan_time(lambda s: run(1, 4, s).sum())
+        finally:
+            rp.RB = rb0
+        out["variants"][f"rb{rb}"] = {"ms": round(ms, 2),
+                                      "exact_vs_base": exact}
+        print(f"RB={rb}: {ms:.2f} ms exact={exact}", flush=True)
     if a.screen:
         for sc in (False, True):
             over = {} if sc else {"rx": None, "ry": None}
