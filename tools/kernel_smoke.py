@@ -19,14 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
+RESULTS = []  # (name, ok, seconds) — dumped by --json
+
+
 def _check(name, fn):
     t0 = time.perf_counter()
     try:
         fn()
     except Exception as e:  # noqa: BLE001 - report and keep probing
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        RESULTS.append((name, False, round(time.perf_counter() - t0, 1)))
         return False
-    print(f"ok   {name} ({time.perf_counter() - t0:.1f}s)")
+    dt = time.perf_counter() - t0
+    print(f"ok   {name} ({dt:.1f}s)")
+    RESULTS.append((name, True, round(dt, 1)))
     return True
 
 
@@ -68,9 +74,12 @@ def smoke_fetch_sd():
     h, w = 256, 512
     qh, qw = h // 4, w // 4
     guard, k = 24, 4
-    sd_map = jnp.asarray(rng.uniform(0.0, 50.0, (qh + 2 * guard,
-                                                 qw + 2 * guard, k))
-                         .astype(np.float32))
+    # NORMALIZED depths on the 16-bit grid — the SD map contract (the ray
+    # tier's reservoir is 16-bit quantized; the packed fetch is bit-exact
+    # exactly on this grid)
+    sd_map = jnp.asarray(
+        rng.integers(0, 65536, (qh + 2 * guard, qw + 2 * guard, k))
+        .astype(np.float32) / 65535.0)
     radius_px = jnp.asarray(rng.uniform(0.5, 60.0, (h, w)).astype(np.float32))
     levels, offs, radii = S.offset_tables(_Cfg(), 64.0)
     pad = int(-(-float(levels[-1]) // 4)) + 1
@@ -82,7 +91,12 @@ def smoke_fetch_sd():
         lvl_p = S.deinterleave(A.shift_level_index(levels,
                                                    radius_px * radii[i]))
         ref = S.fetch_sd_direction(sd_map, lvl_p, offs[i], guard, qh, qw, 4)
-        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref))
+        # 1-ulp tolerance: the packed tier's n/65535 unpack divide is
+        # correctly rounded on CPU (bit-exact there) but TPU fp32 divide
+        # is reciprocal-based and misses by <=1 ulp on ~0.7% of texels
+        # (measured 2026-08-19, max abs 6e-8)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref),
+                                   rtol=0, atol=1.3e-7)
 
 
 def smoke_warp():
@@ -210,6 +224,31 @@ def smoke_sd_trace():
     assert counts.sum() > 100  # the closed box produces plenty of hits
 
 
+def smoke_any_hit_classic():
+    """Classic per-ray-origin streaming tier (shadow/ReSTIR any-hit) vs the
+    XLA oracle on a multi-chunk scene."""
+    from rtsdm_tpu.ops import rt
+    import rtsdm_tpu.ops.rt_pallas as rp
+    from rtsdm_tpu.scene.procedural import arcade
+
+    scene = arcade()
+    rng = np.random.default_rng(17)
+    n = 2048
+    pts = np.asarray(scene.positions.reshape(-1, 3))
+    smin, smax = pts.min(0), pts.max(0)
+    origins = jnp.asarray(rng.uniform(smin, smax, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+    tmin = jnp.full((n,), 1e-3, jnp.float32)
+    tmax = jnp.asarray(rng.uniform(0.5, 60.0, n).astype(np.float32))
+    got = np.asarray(rp.any_hit_pallas(scene, origins, dirs, tmin, tmax,
+                                       alpha_test=False))
+    ref = np.asarray(rt.any_hit(scene, origins, dirs, tmin, tmax))
+    assert got.any() and not got.all()
+    np.testing.assert_array_equal(got, ref)
+
+
 def smoke_rt():
     from rtsdm_tpu.ops import rt
     from rtsdm_tpu.scene.procedural import cornell_box
@@ -257,9 +296,27 @@ def main():
         _check("rasterize (sort-middle visibility)", smoke_raster),
         _check("sd_trace_pallas[_stream] (SD reservoir trace)",
                smoke_sd_trace),
+        _check("any_hit_pallas classic tier (shadow rays)",
+               smoke_any_hit_classic),
         _check("rt.closest_hit (ray trace)", smoke_rt),
     ]
     print("ALL OK" if all(oks) else "FAILURES")
+    if "--json" in sys.argv:
+        import datetime
+        import json
+        path = sys.argv[sys.argv.index("--json") + 1]
+        n_ok = sum(1 for _, ok, _ in RESULTS if ok)
+        with open(path, "w") as f:
+            json.dump({
+                "tool": "tools/kernel_smoke.py",
+                "date": datetime.date.today().isoformat(),
+                "platform": jax.devices()[0].platform
+                + f" ({jax.devices()[0].device_kind})",
+                "result": ("ALL OK" if all(oks) else "FAILURES")
+                + f" ({n_ok}/{len(RESULTS)} Mosaic-compiled and "
+                  "parity-gated)",
+                "kernels": [dict(name=n, ok=ok, seconds=s)
+                            for (n, ok, s) in RESULTS]}, f, indent=1)
     return 0 if all(oks) else 1
 
 

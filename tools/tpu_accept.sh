@@ -5,7 +5,7 @@ set -x
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/rtsdm_jax_cache
 echo "=== kernel smoke (Mosaic compile + parity gate) ==="
-timeout 1800 python tools/kernel_smoke.py > /tmp/acc_smoke.log 2>&1
+timeout 1800 python tools/kernel_smoke.py --json /root/repo/SMOKE_r05.json > /tmp/acc_smoke.log 2>&1
 SMOKE_RC=$?
 echo "smoke rc=$SMOKE_RC"
 tail -8 /tmp/acc_smoke.log
