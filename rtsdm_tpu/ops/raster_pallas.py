@@ -261,7 +261,10 @@ def _raster_sd_kernel(n_chunks, k, alpha,
         # first-layer discard + ray interval (ps.slang:65-85; rayMax==0
         # doubles as the request mask)
         inside = inside & (view_depth > first + 0.01)
-        inside = inside & jnp.where(rmin != 0.0, view_depth >= rmin, True)
+        # logical form, not where-over-booleans: an i1 select lowers to an
+        # i8->i1 truncation Mosaic rejects ("Unsupported target bitwidth
+        # for truncation", hardware compile 2026-08-19)
+        inside = inside & ((rmin == 0.0) | (view_depth >= rmin))
         inside = inside & (rmax != 0.0) & (view_depth <= rmax)
 
         # fragment rng from pixel + primitive id (hashes SV_Position +

@@ -307,6 +307,42 @@ def test_raster_pallas_matches_xla_tiles():
     assert (rid[both] == gid[both]).mean() > 0.99
 
 
+def test_raster_stochastic_pallas_matches_xla():
+    """k-slot stochastic raster, Pallas vs XLA tier. The tiers use
+    different (equally valid) fragment hashes, so slot CONTENTS only agree
+    where the sampling is deterministic: at alpha=1.0 every fragment
+    covers every slot and each slot is the min candidate depth — exact
+    parity there covers the whole fragment/interval logic. At alpha<1
+    coverage (any slot hit) must still agree exactly."""
+    from rtsdm_tpu.ops import raster_pallas as rpx
+    from rtsdm_tpu.passes.stochastic_depth import _raster_stochastic
+
+    scene = cornell_box()
+    cam = scene.camera
+    w = h = 96
+    k = 4
+    first = jnp.zeros((h, w), jnp.float32)
+    rmin = jnp.full((h, w), 0.5, jnp.float32)
+    rmax = jnp.full((h, w), cam.far_z, jnp.float32)
+
+    def run(alpha):
+        ref = np.asarray(_raster_stochastic(scene, w, h, k, alpha, first,
+                                            rmin, rmax))
+        with interpret_mode(rpx):
+            got = np.asarray(rpx.raster_stochastic_pallas(
+                cam.view_proj_no_jitter, scene.positions, cam.far_z,
+                width=w, height=h, k=k, alpha=alpha,
+                first_depth=first, ray_min=rmin, ray_max=rmax))
+        return ref, got
+
+    ref, got = run(1.0)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    ref, got = run(0.5)
+    far = float(cam.far_z)
+    assert (((ref < far).any(-1)) == ((got < far).any(-1))).all()
+    assert (got < far).any()
+
+
 def test_fetch_attributes_matches_interpolate_oracle():
     """Deferred-materialize kernel (one-hot MXU fetch) == XLA interpolate/
     flat_fetch on a full-coverage visibility buffer."""

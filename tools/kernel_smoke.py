@@ -224,6 +224,31 @@ def smoke_sd_trace():
     assert counts.sum() > 100  # the closed box produces plenty of hits
 
 
+def smoke_raster_sd():
+    """k-slot stochastic raster (config 2's SD source): deterministic
+    alpha=1.0 parity vs the XLA tier (different fragment hashes make
+    alpha<1 slots stochastic-divergent by design; coverage still equal)."""
+    import jax as _jax
+    from rtsdm_tpu.ops.raster_pallas import raster_stochastic_pallas
+    from rtsdm_tpu.passes.stochastic_depth import _raster_stochastic
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    scene = cornell_box()
+    cam = scene.camera
+    w = h = 128
+    k = 4
+    first = jnp.zeros((h, w), jnp.float32)
+    rmin = jnp.full((h, w), 0.5, jnp.float32)
+    rmax = jnp.full((h, w), cam.far_z, jnp.float32)
+    got = np.asarray(_jax.block_until_ready(raster_stochastic_pallas(
+        cam.view_proj_no_jitter, scene.positions, cam.far_z,
+        width=w, height=h, k=k, alpha=1.0,
+        first_depth=first, ray_min=rmin, ray_max=rmax)))
+    ref = np.asarray(_raster_stochastic(scene, w, h, k, 1.0, first,
+                                        rmin, rmax))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def smoke_any_hit_classic():
     """Classic per-ray-origin streaming tier (shadow/ReSTIR any-hit) vs the
     XLA oracle on a multi-chunk scene."""
@@ -294,6 +319,8 @@ def main():
         _check("fetch_attributes_pallas (G-buffer fetch)",
                smoke_fetch_attrs),
         _check("rasterize (sort-middle visibility)", smoke_raster),
+        _check("raster_stochastic_pallas (k-slot SD raster)",
+               smoke_raster_sd),
         _check("sd_trace_pallas[_stream] (SD reservoir trace)",
                smoke_sd_trace),
         _check("any_hit_pallas classic tier (shadow rays)",
