@@ -133,8 +133,21 @@ def run_config(c, frames=8):
 
 
 def main():
-    results = []
-    for c in CONFIGS:
+    # One config per PROCESS by default: the axon client panics ("index out
+    # of bounds" client.rs:2008, rc=134) when a second large graph compiles
+    # in the same process — observed twice at the config 1 -> 2 transition
+    # (2026-08-19). --config N runs a single config and writes a part file;
+    # with no argument, orchestrate subprocesses and merge.
+    import argparse
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="1-based config index; run in THIS process and "
+                         "write BENCH_CONFIGS.partN.json")
+    a = ap.parse_args()
+    if a.config:
+        c = CONFIGS[a.config - 1]
         try:
             r = run_config(c)
         except Exception as e:  # keep the report going
@@ -142,7 +155,24 @@ def main():
             traceback.print_exc(file=sys.stderr)
             r = dict(name=c["name"], error=str(e)[:300])
         print(json.dumps(r), flush=True)
-        results.append(r)
+        with open(f"BENCH_CONFIGS.part{a.config}.json", "w") as f:
+            json.dump(r, f)
+        return 0
+
+    results = []
+    for i in range(1, len(CONFIGS) + 1):
+        p = subprocess.run([sys.executable, __file__, "--config", str(i)],
+                           timeout=3600)
+        part = f"BENCH_CONFIGS.part{i}.json"
+        try:
+            with open(part) as f:
+                results.append(json.load(f))
+            os.unlink(part)
+        except FileNotFoundError:
+            results.append(dict(name=CONFIGS[i - 1]["name"],
+                                error=f"subprocess rc={p.returncode}, "
+                                      "no part file (worker crash?)"))
+        print(json.dumps(results[-1]), flush=True)
     with open("BENCH_CONFIGS.json", "w") as f:
         json.dump(results, f, indent=2)
     return 0
