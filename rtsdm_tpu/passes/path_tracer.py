@@ -359,7 +359,7 @@ class PathTracer(RenderPass):
         # is wired — skip the whole block unless some nrd* output is
         # actually consumed (ctx.consumed_outputs None = standalone call,
         # produce everything)
-        cons = ctx.consumed_outputs
+        cons = getattr(ctx, "consumed_outputs", None)
         if cons is None or any(c.startswith("nrd") for c in cons):
             out.update(self._nrd_channels(scene, cam, prim_o, prim_d, face_n,
                                           chunk, inputs.get("vbuffer"),
