@@ -115,6 +115,15 @@ class SVAO(RenderPass):
                 .add_output("ao").add_output("stencil")
                 .add_output("internalRayMin").add_output("internalRayMax"))
 
+    def unused_inputs(self, ctx):
+        """depth2 is only read under PRIMARY_DEPTH_MODE == DUAL (the
+        reference compiles it in via DefineList, SVAO.cpp:221-238); in
+        single mode the graph prunes the DepthPeeling chain that feeds it,
+        like Falcor's compiler skips passes feeding nothing."""
+        if self.cfg["primaryDepthMode"] != DEPTH_MODE_DUAL:
+            return ("depth2",)
+        return ()
+
     # --- nested SD graph (SVAO.cpp:157-190) --------------------------------
     def _build_sd_graph(self):
         impl = self.cfg["stochasticDepthImpl"]

@@ -173,16 +173,42 @@ class RenderGraph:
         state = state if state is not None else {}
         produced: dict[str, dict] = {}
         new_state = dict(state)
+        # drop edges into channels the consumer's CONFIG ignores
+        # (RenderPass.unused_inputs — the DefineList-specialization
+        # analogue), then liveness-prune: only passes contributing to a
+        # marked output (or side-effect passes that declare no outputs)
+        # execute, matching the reference compiler
+        # (RenderGraphCompiler::resolveExecutionOrder,
+        # RenderGraphCompiler.cpp:121-157)
+        unused = {name: frozenset(p.unused_inputs(ctx))
+                  for name, p in self.passes.items()}
+        eff_edges = [(sp, sc, dp, dc) for (sp, sc, dp, dc) in self.edges
+                     if dc not in unused.get(dp, frozenset())]
+        live = {o.split(".", 1)[0] for o in self.outputs}
+        for name, p in self.passes.items():
+            if not p.reflect(ctx).outputs:
+                live.add(name)  # side-effect pass (GuardBand, recorders)
+        changed = True
+        while changed:
+            changed = False
+            for sp, sc, dp, dc in eff_edges:
+                if dp in live and sp not in live:
+                    live.add(sp)
+                    changed = True
+
         in_edges = defaultdict(list)
         out_consumed = defaultdict(set)
-        for sp, sc, dp, dc in self.edges:
-            in_edges[dp].append((dc, sp, sc))
-            out_consumed[sp].add(sc)
+        for sp, sc, dp, dc in eff_edges:
+            if dp in live:
+                in_edges[dp].append((dc, sp, sc))
+                out_consumed[sp].add(sc)
         for o in self.outputs:
             op, oc = o.split(".", 1)
             out_consumed[op].add(oc)
 
         for name in self._execution_order():
+            if name not in live:
+                continue
             p = self.passes[name]
             inputs = {}
             for dc, sp, sc in in_edges[name]:

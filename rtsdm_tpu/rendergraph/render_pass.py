@@ -143,6 +143,17 @@ class RenderPass:
     def reflect(self, ctx: RenderContext) -> PassReflection:
         return PassReflection()
 
+    def unused_inputs(self, ctx: RenderContext):
+        """Declared inputs this pass will IGNORE under its current config
+        (the jax analogue of the reference's DefineList specialization:
+        SVAO only reads depth2 under PRIMARY_DEPTH_MODE == DUAL,
+        SVAO.cpp:221-238). The graph drops edges into these channels and
+        liveness-prunes producers that then feed nothing — matching
+        RenderGraphCompiler::resolveExecutionOrder, which only executes
+        passes contributing to marked outputs
+        (RenderGraphCompiler.cpp:121-157)."""
+        return ()
+
     def set_scene(self, scene):
         self.scene = scene
 

@@ -391,3 +391,66 @@ def test_consumed_outputs_gates_optional_channels():
     pt.set_scene(scene)
     out, _ = pt.execute(ctx, {})
     assert "nrdEmission" in out
+
+
+def test_liveness_prunes_producers_of_unused_inputs():
+    """Edges into channels the consumer's config ignores
+    (RenderPass.unused_inputs) are dropped and their producers liveness-
+    pruned — the reference compiler's resolveExecutionOrder analogue
+    (RenderGraphCompiler.cpp:121-157): SVAO under SingleDepth must not
+    execute the DepthPeeling chain that only feeds SVAO.depth2."""
+    import jax.numpy as jnp
+
+    from rtsdm_tpu.rendergraph.graph import RenderGraph
+    from rtsdm_tpu.rendergraph.render_pass import (PassReflection,
+                                                   RenderContext, RenderPass)
+    from rtsdm_tpu.scene.procedural import cornell_box
+
+    runs = []
+
+    class Counter(RenderPass):
+        SCHEMA = dict(tag="p")
+
+        def reflect(self, ctx):
+            return PassReflection().add_input("x", optional=True) \
+                .add_output("y")
+
+        def execute(self, ctx, inputs, state=None):
+            runs.append(self.cfg["tag"])
+            return {"y": inputs.get("x", jnp.zeros((4, 4))) + 1.0}, None
+
+    class Sink(RenderPass):
+        SCHEMA = dict(mode="single")
+
+        def reflect(self, ctx):
+            return (PassReflection().add_input("a")
+                    .add_input("b", optional=True).add_output("out"))
+
+        def unused_inputs(self, ctx):
+            return ("b",) if self.cfg["mode"] == "single" else ()
+
+        def execute(self, ctx, inputs, state=None):
+            runs.append("sink")
+            out = inputs["a"]
+            if "b" in inputs:
+                out = out + inputs["b"]
+            return {"out": out}, None
+
+    def build(mode):
+        g = RenderGraph("t")
+        g.add_pass(Counter({"tag": "main"}), "Main")
+        g.add_pass(Counter({"tag": "dead"}), "Dead")
+        g.add_pass(Sink({"mode": mode}), "Sink")
+        g.add_edge("Main.y", "Sink.a")
+        g.add_edge("Dead.y", "Sink.b")
+        g.mark_output("Sink.out")
+        return g
+
+    ctx = RenderContext(width=4, height=4, scene=cornell_box())
+    runs.clear()
+    build("single").execute(ctx, {})
+    assert runs == ["main", "sink"], runs  # Dead pruned
+
+    runs.clear()
+    build("dual").execute(ctx, {})
+    assert sorted(runs) == ["dead", "main", "sink"], runs
